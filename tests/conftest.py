@@ -1,0 +1,19 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated on host CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), the standard way to
+test pod-slice code without TPU hardware; see SURVEY.md §4.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
