@@ -92,10 +92,8 @@ def empty_world(cfg: EnvConfig) -> EnvState:
     )
     statics = StaticGeom(
         wall_pos=jnp.zeros((MAX_WALLS, 3)),
-        wall_quat=math3d.quat_identity((MAX_WALLS,)),
         wall_half_ext=jnp.ones((MAX_WALLS, 3)),
         wall_active=jnp.zeros((MAX_WALLS,), bool),
-        wall_is_wedge=jnp.zeros((MAX_WALLS,), bool),
         plane_point=jnp.zeros((MAX_PLANES, 3)),
         plane_normal=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (MAX_PLANES, 1)),
         plane_active=jnp.zeros((MAX_PLANES,), bool).at[0].set(True),
@@ -471,7 +469,9 @@ def _level7(cfg: EnvConfig) -> EnvState:
 
 def _level8(cfg: EnvConfig) -> EnvState:
     """Ramp with downward velocity onto a static ramp
-    (reference: src/level_gen.cpp:464-499)."""
+    (reference: src/level_gen.cpp:464-499). The static ramp occupies the
+    second dynamic ramp slot with locked=True (equivalent to the reference's
+    ResponseType::Static obstacle that is not in the observed ramps array)."""
     state = empty_world(cfg)
     ramp_rot = math3d.quat_normalize(math3d.quat_mul(
         math3d.quat_mul(_quat_aa(25.0, [0.0, 1.0, 0.0]),
@@ -482,18 +482,8 @@ def _level8(cfg: EnvConfig) -> EnvState:
     static_rot = math3d.quat_normalize(math3d.quat_mul(
         _quat_aa(-90.0, [1.0, 0.0, 0.0]),
         _quat_aa(180.0, [0.0, 1.0, 0.0])))
-    # Static debug ramp lives in a wall slot as a rotated wedge.
-    s = state.statics
-    s = s.replace(
-        wall_pos=s.wall_pos.at[0].set(
-            jnp.array([-0.5, -0.5, 1.0])
-            + math3d.quat_rotate(static_rot, RAMP_CENTER_OFF)),
-        wall_quat=s.wall_quat.at[0].set(static_rot),
-        wall_half_ext=s.wall_half_ext.at[0].set(RAMP_HALF),
-        wall_active=s.wall_active.at[0].set(True),
-        wall_is_wedge=s.wall_is_wedge.at[0].set(True),
-    )
-    state = state.replace(statics=s)
+    state = _add_ramp_body(state, cfg, 1, [-0.5, -0.5, 1.0], static_rot,
+                           locked=True)
     return _add_side_planes(state)
 
 

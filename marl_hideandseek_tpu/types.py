@@ -76,13 +76,18 @@ class RigidBodies:
 
 @struct.dataclass
 class StaticGeom:
-    """Walls (+ optional rotated static obstacles) and planes per world."""
+    """Walls and planes per world.
+
+    Walls are axis-aligned boxes: the reference's procedural generator only
+    ever instantiates walls with identity rotation
+    (src/geo_gen.cpp:499-501), which lets the hot raycast/contact paths use
+    cheap slab tests. The one rotated static obstacle in the debug levels
+    (level 8's static ramp) lives in a locked dynamic ramp slot instead.
+    """
 
     wall_pos: jnp.ndarray       # [..., MW, 3] f32 box centre
-    wall_quat: jnp.ndarray      # [..., MW, 4] f32 (identity in training lvls)
     wall_half_ext: jnp.ndarray  # [..., MW, 3] f32
     wall_active: jnp.ndarray    # [..., MW] bool
-    wall_is_wedge: jnp.ndarray  # [..., MW] bool (level-8 static ramp)
     # Planes: slot 0 is the ground plane z=0, extra slots for debug levels
     # (reference: src/level_gen.cpp:455-459, 491-496 side planes).
     plane_point: jnp.ndarray    # [..., P, 3] f32
