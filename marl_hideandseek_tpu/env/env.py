@@ -1,0 +1,448 @@
+"""The batched hide-and-seek environment: init / step / checkpoints.
+
+This module is the TPU-native replacement for the reference's entire
+megakernel step graph + manager + JAX custom-call glue (SURVEY.md §3.2/§3.3;
+reference: setupStepTasks src/sim.cpp:1307-1313, Manager::step
+src/mgr.cpp:883-903, gpuJAXStep src/mgr.cpp:1006-1022): one pure function
+
+    step(state, actions, resets) -> (state', StepResult)
+
+vmapped over worlds and jitted by the caller. Node ordering of the reference
+task graph becomes plain function composition:
+
+  movement -> grab/lock actions -> 4x XPBD substeps -> (optional zero-vel)
+  -> reward visibility -> rewards/dones -> episode results -> conditional
+  per-world reset (level regeneration, gated on `any(reset)` so its cost is
+  only paid on reset steps) -> observations/visibility/lidar.
+
+The `save_checkpoints` / `load_checkpoints` functions mirror the reference's
+dedicated checkpoint task graphs (src/sim.cpp:956-1137) but store the
+level-gen key explicitly instead of replaying RNG draws (no burn hack).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from marl_hideandseek_tpu import math3d
+from marl_hideandseek_tpu.config import (
+    EnvConfig,
+    INTERACT_RAY_LEN,
+    NUM_PREP_STEPS,
+    OOB_LIMIT,
+    OOB_PENALTY,
+)
+from marl_hideandseek_tpu.env import levelgen, observations, physics, rays
+from marl_hideandseek_tpu.types import (
+    AGENT_HIDER,
+    AGENT_SEEKER,
+    OWNER_HIDER,
+    OWNER_NONE,
+    OWNER_SEEKER,
+    EnvState,
+    StepResult,
+    body_slot_ranges,
+)
+
+# Movement constants (reference: src/sim.cpp:202-254). Default variant:
+# 11 buckets, F_max 60, tau_max 15; ZeroAgentVelocity variant: 5 buckets,
+# F_max 800, tau_max 240.
+_DEFAULT_BUCKETS = 11
+_DEFAULT_F_MAX = 60.0
+_DEFAULT_T_MAX = 15.0
+_INSTANT_BUCKETS = 5
+_INSTANT_F_MAX = 800.0
+_INSTANT_T_MAX = 240.0
+
+
+def _movement_forces(cfg: EnvConfig, state: EnvState, actions):
+    """Discrete action buckets -> world-frame force/torque per agent
+    (reference: movementSystem / instantMovementSystem src/sim.cpp:202-254).
+
+    Seekers are frozen during prep (cur_step < numPrepSteps - 1).
+    """
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    n_body = cfg.num_dyn_bodies
+
+    if cfg.zero_agent_velocity:
+        half = _INSTANT_BUCKETS // 2
+        f_per = _INSTANT_F_MAX / half
+        t_per = _INSTANT_T_MAX / half
+    else:
+        half = _DEFAULT_BUCKETS // 2
+        f_per = _DEFAULT_F_MAX / half
+        t_per = _DEFAULT_T_MAX / half
+
+    a_quat = state.bodies.quat[agent_lo:agent_hi]
+    f_local = jnp.stack([
+        f_per * (actions[:, 0] - half).astype(jnp.float32),
+        f_per * (actions[:, 1] - half).astype(jnp.float32),
+        jnp.zeros((cfg.max_agents,)),
+    ], axis=-1)
+    t_z = t_per * (actions[:, 2] - half).astype(jnp.float32)
+
+    seeker_frozen = (state.agent_type == AGENT_SEEKER) & \
+        (state.step < NUM_PREP_STEPS - 1)
+    gate = (state.agent_active & ~seeker_frozen)[:, None].astype(jnp.float32)
+
+    force_w = math3d.quat_rotate(a_quat, f_local) * gate
+    torque_w = jnp.stack(
+        [jnp.zeros_like(t_z), jnp.zeros_like(t_z), t_z], axis=-1) * gate
+
+    ext_force = jnp.zeros((n_body, 3)).at[agent_lo:agent_hi].set(force_w)
+    ext_torque = jnp.zeros((n_body, 3)).at[agent_lo:agent_hi].set(torque_w)
+    return ext_force, ext_torque
+
+
+def _action_system(cfg: EnvConfig, state: EnvState, actions) -> EnvState:
+    """Grab/lock interaction rays (reference: actionSystem
+    src/sim.cpp:270-370)."""
+    (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
+        body_slot_ranges(cfg)
+    n_a = cfg.max_agents
+    bodies = state.bodies
+
+    a_pos = bodies.pos[agent_lo:agent_hi]
+    a_quat = bodies.quat[agent_lo:agent_hi]
+    eye = a_pos + 0.5 * math3d.UP
+    fwd = math3d.quat_rotate(a_quat, math3d.FWD)
+
+    seeker_frozen = (state.agent_type == AGENT_SEEKER) & \
+        (state.step < NUM_PREP_STEPS - 1)
+    can_act = state.agent_active & ~seeker_frozen
+
+    want_lock = (actions[:, 4] == 1) & can_act
+    want_grab = (actions[:, 3] == 1) & can_act
+
+    self_slot = agent_lo + jnp.arange(n_a)
+    hit_t, hit_id = rays.raycast_world(
+        cfg, bodies, state.statics, eye, fwd,
+        jnp.full((n_a,), INTERACT_RAY_LEN), exclude_id=self_slot)
+
+    # Only boxes/ramps are lockable/grabbable (agents are Unownable,
+    # walls/planes are static Unownable entities).
+    is_obj = (hit_id >= box_lo) & (hit_id < ramp_hi)
+    tgt = jnp.where(is_obj, hit_id, 0)
+
+    # ---- lock toggle (reference: src/sim.cpp:281-311) --------------------
+    t_locked = bodies.locked[tgt]
+    t_owner = bodies.owner[tgt]
+    my_team_owner = jnp.where(
+        state.agent_type == AGENT_HIDER, OWNER_HIDER, OWNER_SEEKER)
+
+    do_unlock = want_lock & is_obj & t_locked & (t_owner == my_team_owner)
+    do_lock = want_lock & is_obj & ~t_locked & (t_owner == OWNER_NONE)
+
+    # Reduce same-target conflicts with max-scatters (order-independent;
+    # the reference resolves such races by arbitrary ECS iteration order).
+    n_body = cfg.num_dyn_bodies
+    locked_any = jnp.zeros((n_body,), bool).at[tgt].max(do_lock)
+    unlocked_any = jnp.zeros((n_body,), bool).at[tgt].max(do_unlock)
+    lock_team = jnp.zeros((n_body,), jnp.int32).at[tgt].max(
+        jnp.where(do_lock, my_team_owner, 0))
+
+    locked = jnp.where(locked_any, True,
+                       jnp.where(unlocked_any, False, bodies.locked))
+    owner = jnp.where(locked_any, lock_team,
+                      jnp.where(unlocked_any, OWNER_NONE, bodies.owner))
+
+    # ---- grab toggle (reference: src/sim.cpp:313-361) --------------------
+    has_grab = state.grab.target >= 0
+    release = want_grab & has_grab
+
+    grabbable = is_obj & ~bodies.locked[tgt] & (bodies.owner[tgt] ==
+                                                OWNER_NONE)
+    acquire = want_grab & ~has_grab & grabbable
+
+    hit_pos = eye + fwd * hit_t[:, None]
+    t_pos = bodies.pos[tgt]
+    t_quat = bodies.quat[tgt]
+    r2_new = math3d.quat_rotate_inv(t_quat, hit_pos - t_pos)
+    rel_q_new = math3d.quat_normalize(
+        math3d.quat_mul(math3d.quat_inv(t_quat), a_quat))
+    sep_new = hit_t - 1.25
+
+    g = state.grab
+    new_target = jnp.where(release, -1,
+                           jnp.where(acquire, tgt, g.target))
+    new_r2 = jnp.where(acquire[:, None], r2_new, g.r2)
+    new_rel_q = jnp.where(acquire[:, None], rel_q_new, g.rel_q)
+    new_sep = jnp.where(acquire, sep_new, g.sep)
+
+    return state.replace(
+        bodies=bodies.replace(locked=locked, owner=owner),
+        grab=g.replace(target=new_target.astype(jnp.int32), r2=new_r2,
+                       rel_q=new_rel_q, sep=new_sep),
+    )
+
+
+def _zero_agent_velocities(cfg: EnvConfig, state: EnvState) -> EnvState:
+    """agentZeroVelSystem (reference: src/sim.cpp:256-268)."""
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    b = state.bodies
+    vel = b.vel
+    a_vel = vel[agent_lo:agent_hi]
+    a_vel = jnp.stack([
+        jnp.zeros_like(a_vel[:, 0]),
+        jnp.zeros_like(a_vel[:, 1]),
+        jnp.minimum(a_vel[:, 2], 0.0),
+    ], axis=-1)
+    vel = vel.at[agent_lo:agent_hi].set(a_vel)
+    omega = b.omega.at[agent_lo:agent_hi].set(0.0)
+    return state.replace(bodies=b.replace(vel=vel, omega=omega))
+
+
+def _rewards_dones(cfg: EnvConfig, state: EnvState, team_r):
+    """outputRewardsDonesSystem (reference: src/sim.cpp:806-841)."""
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    cur = state.step
+
+    sign = jnp.where(state.agent_type == AGENT_SEEKER, -1.0, 1.0)
+    reward = sign * team_r
+
+    pos = state.bodies.pos[agent_lo:agent_hi]
+    oob = (jnp.abs(pos[:, 0]) >= OOB_LIMIT) | (jnp.abs(pos[:, 1]) >= OOB_LIMIT)
+    reward = reward - OOB_PENALTY * oob.astype(jnp.float32)
+
+    in_prep = cur < NUM_PREP_STEPS - 1
+    reward = jnp.where(in_prep, 0.0, reward)
+    reward = reward * state.agent_active.astype(jnp.float32)
+
+    done = jnp.where(cur == cfg.episode_len - 1, 1, 0)
+    done = jnp.broadcast_to(done, (cfg.max_agents,)).astype(jnp.int32)
+    return reward[:, None], done[:, None]
+
+
+def _episode_results(cfg: EnvConfig, state: EnvState, team_r) -> EnvState:
+    """updateEpisodeResultsSystem (reference: src/sim.cpp:843-893)."""
+    cur = state.step
+    scores = jnp.where(cur == 0, 0, state.running_scores)
+    finished = jnp.where(cur == 0, 0.0, state.finished_scores)
+
+    hiders_hidden = team_r > 0.0
+    # seekersFirst keys which running score belongs to which policy slot.
+    hid_idx = jnp.where(state.seekers_first, 1, 0)
+    seek_idx = 1 - hid_idx
+    winner = jnp.where(hiders_hidden, hid_idx, seek_idx)
+    in_seek = cur >= NUM_PREP_STEPS
+    scores = scores.at[winner].add(jnp.where(in_seek, 1, 0))
+
+    at_end = cur == cfg.episode_len - 1
+    s0, s1 = scores[0], scores[1]
+    final = jnp.where(
+        s0 > s1, jnp.array([1.0, 0.0]),
+        jnp.where(s0 < s1, jnp.array([0.0, 1.0]), jnp.array([0.5, 0.5])))
+    finished = jnp.where(at_end, final, finished)
+
+    return state.replace(running_scores=scores, finished_scores=finished)
+
+
+def _draw_episode(cfg: EnvConfig, base_key, world_id, episode_counter):
+    """Per-episode draws (reference: initEpisodeRNG src/sim.cpp:105-114,
+    team-size draws src/sim.cpp:187-190, flip src/level_gen.cpp:232-242).
+
+    Returns (ep_key_data, level_key_data, num_hiders, num_seekers,
+    seekers_first)."""
+    ep_key = jax.random.fold_in(
+        jax.random.fold_in(base_key, world_id), episode_counter)
+    k_h, k_s, k_lvl, k_flip = jax.random.split(ep_key, 4)
+    num_hiders = jax.random.randint(
+        k_h, (), cfg.min_hiders, cfg.max_hiders + 1)
+    num_seekers = jax.random.randint(
+        k_s, (), cfg.min_seekers, cfg.max_seekers + 1)
+    if cfg.random_flip_teams:
+        seekers_first = jax.random.randint(k_flip, (), 0, 2) == 1
+    else:
+        seekers_first = jnp.array(False)
+    if cfg.use_fixed_world:
+        level_key_data = jnp.zeros((2,), jnp.uint32)
+    else:
+        level_key_data = jax.random.key_data(k_lvl).astype(jnp.uint32)
+    ep_key_data = jax.random.key_data(ep_key).astype(jnp.uint32)
+    return ep_key_data, level_key_data, num_hiders, num_seekers, seekers_first
+
+
+def _regen_world(cfg: EnvConfig, base_key, world_id, state: EnvState,
+                 level_id) -> EnvState:
+    """Generate a fresh episode for one world."""
+    episode_counter = state.episode_counter + 1
+    ep_key_data, level_key_data, n_h, n_s, flip = _draw_episode(
+        cfg, base_key, world_id, episode_counter)
+    new = levelgen.generate_world(
+        cfg, level_key_data, ep_key_data, level_id, n_h, n_s, flip)
+    return new.replace(
+        episode_counter=episode_counter,
+        step=jnp.array(0, jnp.int32),
+        # EpisodeResult/EpisodeStats singletons persist through reset and
+        # are only cleared at cur==0 of the next step
+        # (reference: src/sim.cpp:850-856), so the just-finished scores
+        # remain visible in the post-reset outputs.
+        finished_scores=state.finished_scores,
+        running_scores=state.running_scores,
+    )
+
+
+def _fresh_world(cfg: EnvConfig, base_key, world_id, level_id) -> EnvState:
+    """First episode of a world (episode_counter starts at 0, matching the
+    reference's curWorldEpisode++ starting from 0)."""
+    ep_key_data, level_key_data, n_h, n_s, flip = _draw_episode(
+        cfg, base_key, world_id, jnp.zeros((), jnp.uint32))
+    new = levelgen.generate_world(
+        cfg, level_key_data, ep_key_data, level_id, n_h, n_s, flip)
+    return new.replace(
+        episode_counter=jnp.zeros((), jnp.uint32),
+        step=jnp.array(0, jnp.int32),
+    )
+
+
+class HideAndSeekEnv:
+    """Functional environment facade.
+
+    API mirrors the reference's `.jax()` function dict contract
+    (reference: src/bindings.cpp:97-118, jax_infer.py:137-144):
+      init(key)                        -> (state, StepResult)
+      step(state, actions, resets)     -> (state, StepResult)
+      save_checkpoints(state)          -> checkpoint pytree
+      load_checkpoints(state, ckpt, should_load) -> (state, StepResult)
+
+    All methods are pure and jittable; `self` only carries static config.
+    """
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+
+    # -- construction ------------------------------------------------------
+
+    def init(self, key) -> Tuple[EnvState, StepResult]:
+        """Create + reset all worlds (reference Init graph:
+        src/sim.cpp:1295-1305)."""
+        cfg = self.cfg
+        world_ids = jnp.arange(cfg.num_worlds, dtype=jnp.uint32)
+        state = jax.vmap(
+            lambda w: _fresh_world(cfg, key, w, jnp.array(1, jnp.int32))
+        )(world_ids)
+        result = self._collect(state)
+        return state, result
+
+    # -- stepping ----------------------------------------------------------
+
+    def step(self, state: EnvState, actions: jnp.ndarray,
+             resets: Optional[jnp.ndarray] = None,
+             base_key=None) -> Tuple[EnvState, StepResult]:
+        """One synchronized step of all worlds.
+
+        actions: [W, A, 5] i32 (x, y, r, g, l buckets).
+        resets: optional [W] i32 level ids (0 = no external reset), the
+        reference's reset tensor (src/mgr.cpp:1265-1281).
+        base_key: PRNG key for episode draws; defaults to the seed key.
+        """
+        cfg = self.cfg
+        if resets is None:
+            resets = jnp.zeros((cfg.num_worlds,), jnp.int32)
+        if base_key is None:
+            base_key = jax.random.PRNGKey(cfg.rand_seed)
+
+        state, team_r, rewards, dones = jax.vmap(
+            functools.partial(self._physics_phase, cfg)
+        )(state, actions.astype(jnp.int32))
+
+        # Conditional reset + regeneration, gated at batch level so the
+        # level generator only runs on steps where some world resets.
+        auto = jnp.zeros((cfg.num_worlds,), bool)
+        if not cfg.ignore_episode_length:
+            auto = state.step == cfg.episode_len - 1
+        trigger = (resets != 0) | auto
+        level_ids = jnp.where(resets != 0, resets, 1).astype(jnp.int32)
+
+        def advance(state):
+            return state.replace(step=state.step + 1)
+
+        def do_resets(state):
+            world_ids = jnp.arange(cfg.num_worlds, dtype=jnp.uint32)
+            regen = jax.vmap(
+                lambda w, s, lv: _regen_world(cfg, base_key, w, s, lv)
+            )(world_ids, state, level_ids)
+            advanced = advance(state)  # non-reset worlds still tick
+            return jax.tree.map(
+                lambda new, old: jnp.where(
+                    trigger.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                regen, advanced)
+
+        state = jax.lax.cond(jnp.any(trigger), do_resets, advance, state)
+
+        result = self._collect(state, rewards, dones)
+        return state, result
+
+    @staticmethod
+    def _physics_phase(cfg: EnvConfig, state: EnvState, actions):
+        """Single-world: movement -> actions -> physics -> rewards."""
+        ext_force, ext_torque = _movement_forces(cfg, state, actions)
+        state = _action_system(cfg, state, actions)
+        bodies = physics.physics_step(
+            cfg, state.bodies, state.statics, state.grab, ext_force,
+            ext_torque)
+        state = state.replace(bodies=bodies)
+        if cfg.zero_agent_velocity:
+            state = _zero_agent_velocities(cfg, state)
+
+        seen = observations.seeker_sees_hider(cfg, state)
+        team_r = jnp.where(seen, -1.0, 1.0)
+        state = state.replace(hider_team_reward=team_r)
+
+        rewards, dones = _rewards_dones(cfg, state, team_r)
+        state = _episode_results(cfg, state, team_r)
+        return state, team_r, rewards, dones
+
+    def _collect(self, state: EnvState, rewards=None, dones=None
+                 ) -> StepResult:
+        cfg = self.cfg
+        obs = jax.vmap(
+            functools.partial(observations.build_observations, cfg))(state)
+        if rewards is None:
+            rewards = jnp.zeros((cfg.num_worlds, cfg.max_agents, 1))
+        if dones is None:
+            dones = jnp.zeros((cfg.num_worlds, cfg.max_agents, 1), jnp.int32)
+        return StepResult(
+            obs=obs,
+            rewards=rewards,
+            dones=dones,
+            episode_results=state.finished_scores,
+        )
+
+    # -- debug / tooling ---------------------------------------------------
+
+    def global_positions(self, state: EnvState) -> jnp.ndarray:
+        """[W, 17, 2] xy positions (reference: src/mgr.cpp:1229-1239)."""
+        return jax.vmap(
+            functools.partial(observations.global_debug_positions, self.cfg)
+        )(state)
+
+    def seeds(self, state: EnvState) -> jnp.ndarray:
+        """[W, A, 2] i32 per-agent episode seed (reference seed tensor:
+        src/mgr.cpp:1198-1206 — the episode RNG counter pair)."""
+        seed = state.ep_key.astype(jnp.int32)  # [W, 2]
+        return jnp.broadcast_to(
+            seed[:, None, :], (self.cfg.num_worlds, self.cfg.max_agents, 2))
+
+    # -- sim-state checkpoints --------------------------------------------
+
+    def save_checkpoints(self, state: EnvState):
+        """Per-world checkpoint pytree (reference Checkpoint singleton:
+        src/sim.hpp:283-313 + saveCheckpointSystem src/sim.cpp:1046-1137).
+
+        The grab joints are stored directly from the per-agent slots (the
+        reference reverse-maps constraint entities; our representation is
+        already index-based)."""
+        from marl_hideandseek_tpu.env.checkpoint import save_checkpoints
+        return save_checkpoints(self.cfg, state)
+
+    def load_checkpoints(self, state: EnvState, ckpt,
+                         should_load: jnp.ndarray):
+        from marl_hideandseek_tpu.env.checkpoint import load_checkpoints
+        new_state = load_checkpoints(self.cfg, state, ckpt, should_load)
+        return new_state, self._collect(new_state)

@@ -1,0 +1,151 @@
+"""Default hide-and-seek policy assembly.
+
+Functionally equivalent to the reference's policy definition
+(scripts/jax_policy.py): per-entity-class embedding backbone with max-pool
+("SimpleNet": embed 64 + LayerNorm + leaky-relu per class, max over
+entities, concat, MLP 256x3 — jax_policy.py:113-167), LSTM(256) recurrent
+encoder per branch, separate actor/critic backbones, discrete actor head
+over [5,5,5,2,2] buckets and a Dreamer-V3 critic, with an EMA observation
+normalizer whose prep/skip sets match jax_policy.py:372-390. An
+entity-self-attention backbone is available as an alternative.
+
+The obs->entity wiring (visibility masking of entity rows, self-obs concat
+of prep counter/self data/type/lidar) mirrors jax_policy.py:84-98,260-292.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marl_hideandseek_tpu.models import (
+    MLP,
+    ActorCritic,
+    BackboneSeparate,
+    DenseLayerDiscreteActor,
+    DreamerV3Critic,
+    EntitySelfAttentionNet,
+    LayerNorm,
+    ObservationsEMANormalizer,
+    Policy,
+    RecurrentBackboneEncoder,
+)
+from marl_hideandseek_tpu.models.layers import EmbedBlock
+from marl_hideandseek_tpu.models.rnn import LSTM
+
+DEFAULT_ACTION_BUCKETS = (5, 5, 5, 2, 2)  # reference: jax_train.py:147
+
+
+def split_obs(obs):
+    """Group the 11 named tensors into self + entity-class groups with
+    visibility masking applied to entity rows."""
+    self_ob = jnp.concatenate([
+        obs["prep_counter"],
+        obs["self_data"],
+        obs["self_type"],
+        obs["self_lidar"],
+    ], axis=-1)
+    agents = obs["agent_data"] * obs["vis_agents_mask"]
+    boxes = obs["box_data"] * obs["vis_boxes_mask"]
+    ramps = obs["ramp_data"] * obs["vis_ramps_mask"]
+    return {"self": self_ob, "agents": agents, "boxes": boxes,
+            "ramps": ramps}
+
+
+class PooledEntityNet(nn.Module):
+    """Embed each entity class, max-pool over entities, concat, MLP."""
+
+    dtype: jnp.dtype
+    embed_dim: int = 64
+    num_channels: int = 256
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, obs, train: bool = False):
+        grouped = split_obs(obs)
+        feats = [EmbedBlock(self.embed_dim, self.dtype, name="embed_self")(
+            grouped["self"])]
+        for name in ("agents", "boxes", "ramps"):
+            e = EmbedBlock(self.embed_dim, self.dtype,
+                           name=f"embed_{name}")(grouped[name])
+            feats.append(jnp.max(e, axis=-2))
+        x = jnp.concatenate(feats, axis=-1)
+        return MLP(num_channels=self.num_channels,
+                   num_layers=self.num_layers, dtype=self.dtype)(x, train)
+
+
+class AttentionEntityNet(nn.Module):
+    """Entity self-attention backbone alternative
+    (reference: jax_policy.py:287-292)."""
+
+    dtype: jnp.dtype
+    num_embed_channels: int = 128
+    num_out_channels: int = 256
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, obs, train: bool = False):
+        grouped = split_obs(obs)
+        return EntitySelfAttentionNet(
+            num_embed_channels=self.num_embed_channels,
+            num_out_channels=self.num_out_channels,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+        )(grouped, train)
+
+
+def make_policy(dtype=jnp.float32,
+                action_buckets: Sequence[int] = DEFAULT_ACTION_BUCKETS,
+                backbone: str = "pooled",
+                num_rnn_channels: int = 256) -> Policy:
+    """Build the default policy (reference: make_policy,
+    jax_policy.py:336-399)."""
+
+    def encoder():
+        if backbone == "pooled":
+            net = PooledEntityNet(dtype=dtype)
+        elif backbone == "attention":
+            net = AttentionEntityNet(dtype=dtype)
+        else:
+            raise ValueError(f"unknown backbone {backbone!r}")
+        return RecurrentBackboneEncoder(
+            net=net,
+            rnn=LSTM(num_hidden_channels=num_rnn_channels, num_layers=1,
+                     dtype=dtype),
+        )
+
+    actor_critic = ActorCritic(
+        backbone=BackboneSeparate(
+            prefix=None,
+            actor_encoder=encoder(),
+            critic_encoder=encoder(),
+        ),
+        actor=DenseLayerDiscreteActor(buckets=tuple(action_buckets),
+                                      dtype=dtype),
+        critic=DreamerV3Critic(dtype=dtype),
+    )
+
+    obs_preprocess = ObservationsEMANormalizer.create(
+        decay=0.99999,
+        dtype=dtype,
+        prep_fns={
+            "prep_counter":
+                lambda x: (x.astype(jnp.float32) / 96.0).astype(dtype),
+            "self_type": lambda x: x.astype(dtype),
+            "vis_agents_mask": lambda x: x.astype(dtype),
+            "vis_boxes_mask": lambda x: x.astype(dtype),
+            "vis_ramps_mask": lambda x: x.astype(dtype),
+        },
+        skip_normalization={
+            "prep_counter", "self_type", "self_mask", "vis_agents_mask",
+            "vis_boxes_mask", "vis_ramps_mask",
+        },
+    )
+
+    return Policy(
+        actor_critic=actor_critic,
+        obs_preprocess=obs_preprocess,
+        get_episode_scores=lambda episode_result: episode_result,
+    )
