@@ -138,13 +138,17 @@ def _action_system(cfg: EnvConfig, state: EnvState, actions) -> EnvState:
     do_unlock = want_lock & is_obj & t_locked & (t_owner == my_team_owner)
     do_lock = want_lock & is_obj & ~t_locked & (t_owner == OWNER_NONE)
 
-    # Reduce same-target conflicts with max-scatters (order-independent;
-    # the reference resolves such races by arbitrary ECS iteration order).
+    # Reduce same-target conflicts with one-hot max-reductions over the
+    # tiny [A, B] matrix (order-independent; the reference resolves such
+    # races by arbitrary ECS iteration order). No dynamic scatters: TPU
+    # lowers those to serial loops.
     n_body = cfg.num_dyn_bodies
-    locked_any = jnp.zeros((n_body,), bool).at[tgt].max(do_lock)
-    unlocked_any = jnp.zeros((n_body,), bool).at[tgt].max(do_unlock)
-    lock_team = jnp.zeros((n_body,), jnp.int32).at[tgt].max(
-        jnp.where(do_lock, my_team_owner, 0))
+    onehot = tgt[:, None] == jnp.arange(n_body)[None, :]  # [A, B]
+    locked_any = jnp.any(onehot & do_lock[:, None], axis=0)
+    unlocked_any = jnp.any(onehot & do_unlock[:, None], axis=0)
+    lock_team = jnp.max(
+        jnp.where(onehot & do_lock[:, None], my_team_owner[:, None], 0),
+        axis=0)
 
     locked = jnp.where(locked_any, True,
                        jnp.where(unlocked_any, False, bodies.locked))

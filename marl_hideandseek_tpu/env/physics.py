@@ -4,21 +4,27 @@ TPU-native replacement for the reference engine's XPBD solver + broadphase +
 narrowphase (SURVEY.md §2.4 E4/E5/E6; reference wiring: src/sim.cpp:19,
 1156-1173 — 4 substeps at dt=1/30). Design choices for the TPU:
 
-  * No BVH / no entity compaction: fixed primitive slots with active masks;
-    all candidate contacts are materialized as fixed-shape masked arrays and
-    solved with a Jacobi (simultaneous) position pass whose per-body
-    corrections are count-normalized — the batched analogue of the
-    reference's sequential Gauss-Seidel constraint sweep.
-  * Contact model: vertex-vs-convex-SDF both directions per pair. Boxes and
-    agents are OBBs, ramps are wedges (5-halfspace convex), walls are
-    static AABBs, the floor is a plane. This captures vertex-face contact
-    manifolds; edge-edge crossings are approximated (the reference itself
-    notes its physics differs from the original OpenAI env, README.md:4).
-  * Friction: velocity-level dynamic friction clamped by the accumulated
-    normal lambda (XPBD velocity pass). Per-class mu_d values follow
-    reference: src/mgr.cpp:476-559; pair mu = max(mu_a, mu_b).
+  * No BVH / no entity compaction: fixed primitive slots with active masks.
+  * **No dynamic scatters in the hot path.** Contacts are kept in dense
+    structured groups — body-plane [B,8,P], body-wall [B,8,W], body-pair
+    [B,8,B] — so every per-body impulse accumulation is a plain masked
+    reduction over trailing axes, which XLA fuses into the VPU. (A flat
+    contact list + scatter_add lowers to serial scatter loops on TPU and is
+    ~1000x slower; measured in round 1.)
+  * Contact model: vertex-vs-convex-SDF in both directions per pair. Boxes
+    and agents are OBBs, ramps are wedges (5-halfspace convex), walls are
+    static AABBs, the floor is a plane. Vertex-face manifolds; edge-edge
+    crossings are approximated (the reference itself notes its physics
+    differs from the original OpenAI env, README.md:4).
+  * Jacobi (simultaneous) position solve with per-body count-normalized
+    corrections — the batched analogue of the reference's sequential
+    Gauss-Seidel sweep.
+  * Friction: velocity-pass dynamic friction clamped by the accumulated
+    normal lambda. Per-class mu_d values follow reference
+    src/mgr.cpp:476-559; pair mu = max(mu_a, mu_b).
   * Grab joints: 3-dof anchor + 3-dof relative-rotation positional
-    constraints per agent slot (reference fixed joint: src/sim.cpp:343-357).
+    constraints per agent slot (reference fixed joint: src/sim.cpp:343-357);
+    the only cross-body routing uses a tiny [A,B] one-hot matmul.
 
 All functions are single-world; `env.py` vmaps the step.
 """
@@ -41,11 +47,6 @@ from marl_hideandseek_tpu.types import (
 )
 
 GRAVITY = jnp.array([0.0, 0.0, -9.8])  # reference: src/sim.cpp:1360
-
-# Relaxation for the Jacobi position solve (stabilizes simultaneous
-# application of many contacts; corrections are additionally normalized by
-# per-body contact counts).
-_RELAX = 1.0
 
 # Wedge vertex set (padded to 8 like a box for uniform shapes); from
 # data/ramp_collision.obj.
@@ -79,15 +80,13 @@ def body_vertices_local(cfg: EnvConfig, half_ext: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_ramp[:, None, None], wedge_verts, box_verts)
 
 
-def convex_sdf_local(cfg: EnvConfig, p_local: jnp.ndarray,
-                     half_ext: jnp.ndarray, is_ramp: jnp.ndarray):
-    """Signed distance + outward normal of body slots' shapes, local frame.
+def convex_sdf_local(p_local: jnp.ndarray, half_ext: jnp.ndarray,
+                     is_ramp: jnp.ndarray):
+    """Signed distance + outward normal of body shapes, local frame.
 
-    p_local: [..., 3] point in the body's frame. Returns (sdf, normal);
-    sdf < 0 inside. For boxes the SDF is the max face distance (exact
-    inside); for wedges the max halfspace distance.
+    p_local: [..., 3]; half_ext broadcastable [..., 3]; is_ramp [...] bool.
+    sdf < 0 inside (max-face distance, exact inside for convex shapes).
     """
-    # Box: distance to each of 6 faces.
     q = jnp.abs(p_local) - half_ext
     box_sdf = jnp.max(q, axis=-1)
     k = jnp.argmax(q, axis=-1)
@@ -95,7 +94,6 @@ def convex_sdf_local(cfg: EnvConfig, p_local: jnp.ndarray,
         jnp.take_along_axis(p_local, k[..., None], axis=-1)
     ) * jax.nn.one_hot(k, 3, dtype=p_local.dtype)
 
-    # Wedge: max halfspace.
     d = jnp.einsum("fk,...k->...f", WEDGE_NORMALS, p_local) - WEDGE_OFFSETS
     wedge_sdf = jnp.max(d, axis=-1)
     fk = jnp.argmax(d, axis=-1)
@@ -106,198 +104,148 @@ def convex_sdf_local(cfg: EnvConfig, p_local: jnp.ndarray,
     return sdf, normal
 
 
-class _Contacts(NamedTuple):
-    """Flat masked contact set (fixed shape)."""
-
-    a: jnp.ndarray        # [C] i32 dyn body index (the vertex owner or -1?)
-    b: jnp.ndarray        # [C] i32 dyn body index of the other side, -1=static
-    p: jnp.ndarray        # [C, 3] world contact point
-    n: jnp.ndarray        # [C, 3] world normal, pushes A along +n
-    depth: jnp.ndarray    # [C] penetration depth (>0 when touching)
-    mask: jnp.ndarray     # [C] bool
-    mu: jnp.ndarray       # [C] pair dynamic friction
-
-
-def _gen_plane_contacts(cfg, pos, quat, verts_world, active, statics):
-    """Body corner vs plane contacts. Returns flat _Contacts."""
-    n_body = cfg.num_dyn_bodies
-    n_plane = statics.plane_point.shape[0]
-    # [B, 8, Pl]
-    rel = verts_world[:, :, None, :] - statics.plane_point[None, None, :, :]
-    dist = jnp.einsum("bvpk,pk->bvp", rel, statics.plane_normal)
-    depth = -dist
-    mask = (depth > 0.0) & active[:, None, None] & \
-        statics.plane_active[None, None, :]
-
-    c = n_body * 8 * n_plane
-    a_idx = jnp.broadcast_to(
-        jnp.arange(n_body)[:, None, None], (n_body, 8, n_plane)).reshape(c)
-    normal = jnp.broadcast_to(
-        statics.plane_normal[None, None], (n_body, 8, n_plane, 3)).reshape(c, 3)
-    return _Contacts(
-        a=a_idx.astype(jnp.int32),
-        b=jnp.full((c,), -1, jnp.int32),
-        p=verts_world[:, :, None, :].repeat(n_plane, 2).reshape(c, 3),
-        n=normal,
-        depth=depth.reshape(c),
-        mask=mask.reshape(c),
-        mu=jnp.full((c,), 2.0),  # plane muD = 2 (reference: mgr.cpp:492)
-    )
-
-
-def _gen_wall_contacts(cfg, verts_world, active, friction_mu, statics):
-    """Body corner vs wall (AABB) contacts."""
-    n_body = cfg.num_dyn_bodies
-    n_wall = statics.wall_pos.shape[0]
-    # Vert in wall frame (walls are axis aligned): [B, 8, W, 3]
-    rel = verts_world[:, :, None, :] - statics.wall_pos[None, None, :, :]
-    q = jnp.abs(rel) - statics.wall_half_ext[None, None, :, :]
-    sdf = jnp.max(q, axis=-1)
-    k = jnp.argmax(q, axis=-1)
-    n = jnp.sign(jnp.take_along_axis(rel, k[..., None], axis=-1)) * \
-        jax.nn.one_hot(k, 3, dtype=rel.dtype)
-    depth = -sdf
-    mask = (depth > 0.0) & active[:, None, None] & \
-        statics.wall_active[None, None, :]
-
-    c = n_body * 8 * n_wall
-    a_idx = jnp.broadcast_to(
-        jnp.arange(n_body)[:, None, None], (n_body, 8, n_wall)).reshape(c)
-    mu = jnp.maximum(friction_mu[:, None, None], 2.0)  # wall muD = 2
-    mu = jnp.broadcast_to(mu, (n_body, 8, n_wall)).reshape(c)
-    return _Contacts(
-        a=a_idx.astype(jnp.int32),
-        b=jnp.full((c,), -1, jnp.int32),
-        p=verts_world[:, :, None, :].repeat(n_wall, 2).reshape(c, 3),
-        n=n.reshape(c, 3),
-        depth=depth.reshape(c),
-        mask=mask.reshape(c),
-        mu=mu,
-    )
-
-
-def _gen_pair_contacts(cfg, pos, quat, half_ext, verts_world, active,
-                       friction_mu):
-    """Dynamic-dynamic contacts: vertices of A inside B's SDF, for every
-    ordered pair (A != B)."""
-    n_body = cfg.num_dyn_bodies
-    _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
-    slot = jnp.arange(n_body)
-    is_ramp = (slot >= ramp_lo) & (slot < ramp_hi)
-
-    # Vertex v of body a, tested in body b's frame: [A, 8, B, 3].
-    rel = verts_world[:, :, None, :] - pos[None, None, :, :]
-    p_local = math3d.quat_rotate_inv(quat[None, None, :, :], rel)
-    sdf, n_local = convex_sdf_local(
-        cfg, p_local, half_ext[None, None], is_ramp[None, None, :])
-    n_world = math3d.quat_rotate(quat[None, None, :, :], n_local)
-    depth = -sdf
-
-    a_idx = jnp.broadcast_to(slot[:, None, None], (n_body, 8, n_body))
-    b_idx = jnp.broadcast_to(slot[None, None, :], (n_body, 8, n_body))
-    mask = (depth > 0.0) & (a_idx != b_idx) & \
-        active[:, None, None] & active[None, None, :]
-
-    c = n_body * 8 * n_body
-    mu = jnp.maximum(friction_mu[:, None, None], friction_mu[None, None, :])
-    return _Contacts(
-        a=a_idx.reshape(c).astype(jnp.int32),
-        b=b_idx.reshape(c).astype(jnp.int32),
-        p=jnp.broadcast_to(
-            verts_world[:, :, None, :], (n_body, 8, n_body, 3)).reshape(c, 3),
-        n=n_world.reshape(c, 3),
-        depth=depth.reshape(c),
-        mask=mask.reshape(c),
-        mu=jnp.broadcast_to(mu, (n_body, 8, n_body)).reshape(c),
-    )
-
-
-def _concat_contacts(*groups: _Contacts) -> _Contacts:
-    return _Contacts(*[
-        jnp.concatenate([getattr(g, f) for g in groups], axis=0)
-        for f in _Contacts._fields
-    ])
-
-
-def _gather_body(idx, arr, static_val=0.0):
-    """arr[idx] with idx == -1 mapping to static_val."""
-    safe = jnp.maximum(idx, 0)
-    out = arr[safe]
-    if arr.ndim > 1:
-        return jnp.where((idx >= 0)[:, None], out, static_val)
-    return jnp.where(idx >= 0, out, static_val)
-
-
-def _inv_inertia_world(quat, inv_inertia_diag):
-    """w-frame inverse inertia applied to a vector: returns function arrays.
-
-    We fold R * diag(invI) * R^T lazily: callers compute
-    I^-1 u = R (invI * (R^T u)).
-    """
-    return quat, inv_inertia_diag
+class _GroupSolveOut(NamedTuple):
+    dpos: jnp.ndarray    # [B, 3] accumulated positional corrections
+    drot: jnp.ndarray    # [B, 3] accumulated rotation-vector corrections
+    cnt: jnp.ndarray     # [B] contact counts touching each body
+    lam: jnp.ndarray     # group-shaped normal lambdas (for friction pass)
 
 
 def _apply_inv_inertia(quat, inv_diag, u):
+    """I^-1 u with I^-1 = R diag(inv) R^T."""
     u_b = math3d.quat_rotate_inv(quat, u)
     return math3d.quat_rotate(quat, inv_diag * u_b)
 
 
-def solve_positions(cfg, pos, quat, eff_inv_m, inv_inertia, contacts):
-    """One Jacobi position pass over all contacts.
+def _solve_static_group(pos_a, quat_a, w_lin_a, inv_I_a, p, n, depth, mask):
+    """Contacts of dynamic bodies (leading axis B) against static geometry.
 
-    Returns (dpos [B,3], drot [B,3] rotation vectors, lambda_n [C]).
+    p, n, depth, mask: [B, V, M, ...]; the static side has infinite mass.
+    Returns per-body accumulations (sums over V, M) + lambdas.
     """
-    n_body = cfg.num_dyn_bodies
-    a, b = contacts.a, contacts.b
+    r_a = p - pos_a[:, None, None, :]
+    rxn = jnp.cross(r_a, n)
+    q_b = quat_a[:, None, None, :]
+    ii = inv_I_a[:, None, None, :]
+    w_ang = jnp.sum(rxn * _apply_inv_inertia(q_b, ii, rxn), axis=-1)
+    w_sum = w_lin_a[:, None, None] + w_ang
 
-    x_a = pos[a]
-    x_b = _gather_body(b, pos)
-    r_a = contacts.p - x_a
-    r_b = contacts.p - x_b
+    lam = jnp.where(mask & (w_sum > 1e-9),
+                    depth / jnp.maximum(w_sum, 1e-9), 0.0)
+    imp = lam[..., None] * n
 
-    w_lin_a = eff_inv_m[a]
-    w_lin_b = _gather_body(b, eff_inv_m)
+    dpos = jnp.sum(imp, axis=(1, 2)) * w_lin_a[:, None]
+    ang = _apply_inv_inertia(q_b, ii, jnp.cross(r_a, imp))
+    drot = jnp.sum(ang, axis=(1, 2))
+    cnt = jnp.sum(mask, axis=(1, 2)).astype(pos_a.dtype)
+    return _GroupSolveOut(dpos, drot, cnt, lam)
 
-    q_a = quat[jnp.maximum(a, 0)]
-    q_b = quat[jnp.maximum(b, 0)]
-    ii_a = inv_inertia[jnp.maximum(a, 0)]
-    ii_b = jnp.where((b >= 0)[:, None], inv_inertia[jnp.maximum(b, 0)], 0.0)
 
-    n = contacts.n
+def _solve_pair_group(pos, quat, w_lin, inv_I, p, n, depth, mask):
+    """Dense dynamic-dynamic contacts: vertex v of body a against body b.
+
+    p, n, depth, mask: [A, V, B(, 3)] where axis 0 indexes the vertex owner
+    (side a) and axis 2 the SDF owner (side b). n pushes a along +n.
+    Accumulations are reductions: a-side over (V, B), b-side over (A, V).
+    """
+    r_a = p - pos[:, None, None, :]
+    r_b = p - pos[None, None, :, :]
+    q_a = quat[:, None, None, :]
+    q_b = quat[None, None, :, :]
+    ii_a = inv_I[:, None, None, :]
+    ii_b = inv_I[None, None, :, :]
+
     rxn_a = jnp.cross(r_a, n)
     rxn_b = jnp.cross(r_b, n)
     w_ang_a = jnp.sum(rxn_a * _apply_inv_inertia(q_a, ii_a, rxn_a), axis=-1)
     w_ang_b = jnp.sum(rxn_b * _apply_inv_inertia(q_b, ii_b, rxn_b), axis=-1)
-
-    w_a = w_lin_a + w_ang_a
-    w_b = w_lin_b + w_ang_b
+    w_a = w_lin[:, None, None] + w_ang_a
+    w_b = w_lin[None, None, :] + w_ang_b
     w_sum = w_a + w_b
 
-    lam = jnp.where(contacts.mask & (w_sum > 1e-9),
-                    contacts.depth / jnp.maximum(w_sum, 1e-9), 0.0)
-    imp = lam[:, None] * n  # pushes A along +n, B along -n
+    lam = jnp.where(mask & (w_sum > 1e-9),
+                    depth / jnp.maximum(w_sum, 1e-9), 0.0)
+    imp = lam[..., None] * n
 
-    # Count-normalized accumulation per body (Jacobi averaging).
-    ones = contacts.mask.astype(pos.dtype)
-    cnt = jnp.zeros((n_body,)).at[a].add(ones)
-    cnt = cnt.at[jnp.maximum(b, 0)].add(jnp.where(b >= 0, ones, 0.0))
-    norm = 1.0 / jnp.maximum(cnt, 1.0)
-
-    dpos = jnp.zeros((n_body, 3))
-    dpos = dpos.at[a].add(imp * w_lin_a[:, None])
-    dpos = dpos.at[jnp.maximum(b, 0)].add(
-        jnp.where((b >= 0)[:, None], -imp * w_lin_b[:, None], 0.0))
-    dpos = dpos * norm[:, None] * _RELAX
-
-    drot = jnp.zeros((n_body, 3))
+    dpos = (jnp.sum(imp, axis=(1, 2)) * w_lin[:, None]
+            - jnp.sum(imp, axis=(0, 1)) * w_lin[:, None])
     ang_a = _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp))
     ang_b = _apply_inv_inertia(q_b, ii_b, jnp.cross(r_b, -imp))
-    drot = drot.at[a].add(ang_a)
-    drot = drot.at[jnp.maximum(b, 0)].add(
-        jnp.where((b >= 0)[:, None], ang_b, 0.0))
-    drot = drot * norm[:, None] * _RELAX
+    drot = jnp.sum(ang_a, axis=(1, 2)) + jnp.sum(ang_b, axis=(0, 1))
+    cnt = (jnp.sum(mask, axis=(1, 2)) + jnp.sum(mask, axis=(0, 1))
+           ).astype(pos.dtype)
+    return _GroupSolveOut(dpos, drot, cnt, lam)
 
-    return dpos, drot, lam
+
+def _friction_static_group(pos_a, quat_a, vel, omega, w_lin_a, inv_I_a,
+                           p, n, mask, mu, lam, h):
+    """Velocity-pass dynamic friction for static-side contact groups.
+
+    Returns (dvel [B,3], domega [B,3], cnt [B]) accumulations.
+    """
+    r_a = p - pos_a[:, None, None, :]
+    v_c = vel[:, None, None, :] + jnp.cross(omega[:, None, None, :], r_a)
+    v_n = jnp.sum(v_c * n, axis=-1, keepdims=True) * n
+    v_t = v_c - v_n
+    v_t_len = jnp.linalg.norm(v_t, axis=-1)
+    t_dir = v_t / jnp.maximum(v_t_len, 1e-9)[..., None]
+
+    q_b = quat_a[:, None, None, :]
+    ii = inv_I_a[:, None, None, :]
+    rxt = jnp.cross(r_a, t_dir)
+    w_sum = w_lin_a[:, None, None] + jnp.sum(
+        rxt * _apply_inv_inertia(q_b, ii, rxt), axis=-1)
+    w_sum = jnp.maximum(w_sum, 1e-9)
+
+    active = mask & (lam > 0.0)
+    j = jnp.minimum(v_t_len / w_sum, mu * lam / h)
+    j = jnp.where(active, j, 0.0)
+    imp = -j[..., None] * t_dir
+
+    dvel = jnp.sum(imp, axis=(1, 2)) * w_lin_a[:, None]
+    dom = jnp.sum(_apply_inv_inertia(q_b, ii, jnp.cross(r_a, imp)),
+                  axis=(1, 2))
+    cnt = jnp.sum(active, axis=(1, 2)).astype(pos_a.dtype)
+    return dvel, dom, cnt
+
+
+def _friction_pair_group(pos, quat, vel, omega, w_lin, inv_I,
+                         p, n, mask, mu, lam, h):
+    r_a = p - pos[:, None, None, :]
+    r_b = p - pos[None, None, :, :]
+    v_a = vel[:, None, None, :] + jnp.cross(omega[:, None, None, :], r_a)
+    v_b = vel[None, None, :, :] + jnp.cross(omega[None, None, :, :], r_b)
+    v_rel = v_a - v_b
+    v_n = jnp.sum(v_rel * n, axis=-1, keepdims=True) * n
+    v_t = v_rel - v_n
+    v_t_len = jnp.linalg.norm(v_t, axis=-1)
+    t_dir = v_t / jnp.maximum(v_t_len, 1e-9)[..., None]
+
+    q_a = quat[:, None, None, :]
+    q_b = quat[None, None, :, :]
+    ii_a = inv_I[:, None, None, :]
+    ii_b = inv_I[None, None, :, :]
+    rxt_a = jnp.cross(r_a, t_dir)
+    rxt_b = jnp.cross(r_b, t_dir)
+    w_sum = (w_lin[:, None, None] + w_lin[None, None, :] +
+             jnp.sum(rxt_a * _apply_inv_inertia(q_a, ii_a, rxt_a), axis=-1) +
+             jnp.sum(rxt_b * _apply_inv_inertia(q_b, ii_b, rxt_b), axis=-1))
+    w_sum = jnp.maximum(w_sum, 1e-9)
+
+    active = mask & (lam > 0.0)
+    j = jnp.minimum(v_t_len / w_sum, mu * lam / h)
+    j = jnp.where(active, j, 0.0)
+    imp = -j[..., None] * t_dir
+
+    dvel = (jnp.sum(imp, axis=(1, 2)) * w_lin[:, None]
+            - jnp.sum(imp, axis=(0, 1)) * w_lin[:, None])
+    dom = (jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
+                   axis=(1, 2)) +
+           jnp.sum(_apply_inv_inertia(q_b, ii_b, jnp.cross(r_b, -imp)),
+                   axis=(0, 1)))
+    cnt = (jnp.sum(active, axis=(1, 2)) + jnp.sum(active, axis=(0, 1))
+           ).astype(pos.dtype)
+    return dvel, dom, cnt
 
 
 def _apply_rot(quat, drot):
@@ -314,19 +262,29 @@ def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
     Anchor constraint: (x_t + R_t r2) == (x_a + R_a r1'), where
     r1' = (0, 1.25 + sep, 0.5) in the agent frame (reference attach frame
     construction, src/sim.cpp:343-356). Angular constraint drives the
-    relative rotation back to its value at grab time.
+    relative rotation back to its value at grab time. Cross-body routing
+    uses an [A, B] one-hot matmul (no scatters).
     """
     n_body = cfg.num_dyn_bodies
     _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
     n_agents = agent_hi - agent_lo
 
-    a_slot = jnp.arange(agent_lo, agent_hi)
     t_slot = grab.target  # [A], -1 = no grab
     has = t_slot >= 0
-    t_safe = jnp.maximum(t_slot, 0)
+    onehot = (t_slot[:, None] == jnp.arange(n_body)[None, :]).astype(
+        pos.dtype)  # [A, B]
 
-    x_a, q_a = pos[a_slot], quat[a_slot]
-    x_t, q_t = pos[t_safe], quat[t_safe]
+    x_a = pos[agent_lo:agent_hi]
+    q_a = quat[agent_lo:agent_hi]
+    # Gather target state densely via the one-hot (B is tiny).
+    x_t = onehot @ pos
+    q_t_raw = onehot @ quat
+    q_t = jnp.where(has[:, None], q_t_raw, math3d.quat_identity((n_agents,)))
+    w_t = jnp.where(has, onehot @ eff_inv_m, 0.0)
+    ii_t = jnp.where(has[:, None], onehot @ inv_inertia, 0.0)
+
+    w_a = eff_inv_m[agent_lo:agent_hi]
+    ii_a = inv_inertia[agent_lo:agent_hi]
 
     r1 = jnp.stack(
         [jnp.zeros_like(grab.sep), 1.25 + grab.sep,
@@ -334,124 +292,54 @@ def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
     p_a = x_a + math3d.quat_rotate(q_a, r1)
     p_t = x_t + math3d.quat_rotate(q_t, grab.r2)
 
-    delta = p_t - p_a  # drive to zero
+    delta = p_t - p_a
     c_len = jnp.linalg.norm(delta, axis=-1)
     n = delta / jnp.maximum(c_len, 1e-9)[:, None]
 
     r_a = p_a - x_a
     r_t = p_t - x_t
-    ii_a = inv_inertia[a_slot]
-    ii_t = jnp.where(has[:, None], inv_inertia[t_safe], 0.0)
-    w_a = eff_inv_m[a_slot] + jnp.sum(
+    gw_a = w_a + jnp.sum(
         jnp.cross(r_a, n) * _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, n)),
         axis=-1)
-    w_t = jnp.where(has, eff_inv_m[t_safe], 0.0) + jnp.sum(
+    gw_t = w_t + jnp.sum(
         jnp.cross(r_t, n) * _apply_inv_inertia(q_t, ii_t, jnp.cross(r_t, n)),
         axis=-1)
-    w_sum = w_a + w_t
+    w_sum = gw_a + gw_t
     lam = jnp.where(has & (w_sum > 1e-9), c_len / jnp.maximum(w_sum, 1e-9),
                     0.0)
-    imp = lam[:, None] * n  # applied +imp to agent, -imp to target
+    imp = lam[:, None] * n  # +imp on agent, -imp on target
 
-    dpos = jnp.zeros((n_body, 3))
-    dpos = dpos.at[a_slot].add(imp * eff_inv_m[a_slot][:, None])
-    dpos = dpos.at[t_safe].add(
-        jnp.where(has[:, None], -imp * eff_inv_m[t_safe][:, None], 0.0))
+    dpos_a = imp * w_a[:, None]                       # [A, 3]
+    dpos_t = -imp * w_t[:, None]                      # [A, 3]
+    drot_a = _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp))
+    drot_t = _apply_inv_inertia(q_t, ii_t, jnp.cross(r_t, -imp))
 
-    drot = jnp.zeros((n_body, 3))
-    drot = drot.at[a_slot].add(
-        _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)))
-    drot = drot.at[t_safe].add(
-        jnp.where(has[:, None],
-                  _apply_inv_inertia(q_t, ii_t, jnp.cross(r_t, -imp)), 0.0))
-
-    # Angular: relative rotation error vs stored rel_q (q_t^-1 q_a target).
+    # Angular: relative rotation error vs stored rel_q.
     rel_now = math3d.quat_mul(math3d.quat_inv(q_t), q_a)
     err_q = math3d.quat_mul(rel_now, math3d.quat_inv(grab.rel_q))
-    # Rotation vector of the error, expressed in the target frame; map to
-    # world via q_t.
     sign = jnp.sign(err_q[..., :1])
-    theta_local = 2.0 * err_q[..., 1:] * sign
-    theta_world = math3d.quat_rotate(q_t, theta_local)
+    theta_world = math3d.quat_rotate(q_t, 2.0 * err_q[..., 1:] * sign)
 
-    ang_w_a = jnp.sum(_apply_inv_inertia(
-        q_a, ii_a, theta_world) * theta_world, axis=-1)
-    ang_w_t = jnp.sum(_apply_inv_inertia(
-        q_t, ii_t, theta_world) * theta_world, axis=-1)
+    ang_w_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, theta_world) *
+                      theta_world, axis=-1)
+    ang_w_t = jnp.sum(_apply_inv_inertia(q_t, ii_t, theta_world) *
+                      theta_world, axis=-1)
     tnorm2 = jnp.sum(theta_world * theta_world, axis=-1)
     denom = ang_w_a + ang_w_t
     scale = jnp.where(has & (denom > 1e-9) & (tnorm2 > 1e-12),
                       tnorm2 / jnp.maximum(denom, 1e-9), 0.0)
-    # Corrections: rotate agent by -share, target by +share of the error.
-    drot = drot.at[a_slot].add(
-        -_apply_inv_inertia(q_a, ii_a, theta_world) * scale[:, None])
-    drot = drot.at[t_safe].add(jnp.where(
-        has[:, None],
-        _apply_inv_inertia(q_t, ii_t, theta_world) * scale[:, None], 0.0))
+    drot_a = drot_a - _apply_inv_inertia(
+        q_a, ii_a, theta_world) * scale[:, None]
+    drot_t = drot_t + _apply_inv_inertia(
+        q_t, ii_t, theta_world) * scale[:, None]
 
+    # Route target contributions back to body slots with the one-hot.
+    dpos = jnp.einsum("ab,ak->bk", onehot, dpos_t)
+    drot = jnp.einsum("ab,ak->bk", onehot, drot_t)
+    # Agent contributions occupy a static slice.
+    dpos = dpos.at[agent_lo:agent_hi].add(dpos_a)
+    drot = drot.at[agent_lo:agent_hi].add(drot_a)
     return dpos, drot
-
-
-def velocity_friction(cfg, pos, quat, vel, omega, eff_inv_m, inv_inertia,
-                      contacts, lam_n, h):
-    """XPBD velocity-pass dynamic friction.
-
-    For each active contact, damp the tangential relative velocity at the
-    contact point by an impulse clamped to mu * |lambda_n| / h.
-    """
-    n_body = cfg.num_dyn_bodies
-    a, b = contacts.a, contacts.b
-    r_a = contacts.p - pos[a]
-    r_b = contacts.p - _gather_body(b, pos)
-
-    v_a = vel[a] + jnp.cross(omega[a], r_a)
-    v_b = _gather_body(b, vel) + jnp.cross(
-        _gather_body(b, omega), r_b)
-    v_rel = v_a - v_b
-    n = contacts.n
-    v_n = jnp.sum(v_rel * n, axis=-1, keepdims=True) * n
-    v_t = v_rel - v_n
-    v_t_len = jnp.linalg.norm(v_t, axis=-1)
-    t_dir = v_t / jnp.maximum(v_t_len, 1e-9)[:, None]
-
-    q_a = quat[jnp.maximum(a, 0)]
-    q_b = quat[jnp.maximum(b, 0)]
-    ii_a = inv_inertia[jnp.maximum(a, 0)]
-    ii_b = jnp.where((b >= 0)[:, None], inv_inertia[jnp.maximum(b, 0)], 0.0)
-    rxt_a = jnp.cross(r_a, t_dir)
-    rxt_b = jnp.cross(r_b, t_dir)
-    w_a = eff_inv_m[a] + jnp.sum(
-        rxt_a * _apply_inv_inertia(q_a, ii_a, rxt_a), axis=-1)
-    w_b = _gather_body(b, eff_inv_m) + jnp.sum(
-        rxt_b * _apply_inv_inertia(q_b, ii_b, rxt_b), axis=-1)
-    w_sum = jnp.maximum(w_a + w_b, 1e-9)
-
-    j_stop = v_t_len / w_sum
-    j_max = contacts.mu * jnp.abs(lam_n) / h
-    j = jnp.minimum(j_stop, j_max)
-    j = jnp.where(contacts.mask & (lam_n > 0.0), j, 0.0)
-    imp = -j[:, None] * t_dir  # applied to A; +j to B
-
-    ones = (contacts.mask & (lam_n > 0.0)).astype(pos.dtype)
-    cnt = jnp.zeros((n_body,)).at[a].add(ones)
-    cnt = cnt.at[jnp.maximum(b, 0)].add(jnp.where(b >= 0, ones, 0.0))
-    norm = 1.0 / jnp.maximum(cnt, 1.0)
-
-    dvel = jnp.zeros((n_body, 3))
-    dvel = dvel.at[a].add(imp * eff_inv_m[a][:, None])
-    dvel = dvel.at[jnp.maximum(b, 0)].add(jnp.where(
-        (b >= 0)[:, None], -imp * _gather_body(b, eff_inv_m)[:, None], 0.0))
-    dvel = dvel * norm[:, None]
-
-    domega = jnp.zeros((n_body, 3))
-    domega = domega.at[a].add(
-        _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)))
-    domega = domega.at[jnp.maximum(b, 0)].add(jnp.where(
-        (b >= 0)[:, None],
-        _apply_inv_inertia(q_b, ii_b, jnp.cross(r_b, -imp)), 0.0))
-    domega = domega * norm[:, None]
-
-    return vel + dvel, omega + domega
 
 
 def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
@@ -470,6 +358,18 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
     eff_inv_I = jnp.where(dynamic[:, None], bodies.inv_inertia, 0.0)
     verts_local = body_vertices_local(cfg, bodies.half_ext)
 
+    active = bodies.active
+    mu_body = bodies.friction_mu
+    n_wall = statics.wall_pos.shape[0]
+    n_plane = statics.plane_point.shape[0]
+
+    # Pair friction/masks that don't change within the step.
+    pair_valid = (active[:, None, None] & active[None, None, :] &
+                  (slot[:, None, None] != slot[None, None, :]))
+    pair_mu = jnp.maximum(mu_body[:, None, None], mu_body[None, None, :])
+    wall_mu = jnp.maximum(mu_body, 2.0)[:, None, None]  # wall muD = 2
+    plane_mu = jnp.maximum(mu_body, 2.0)[:, None, None]  # plane muD = 2
+
     def substep(carry, _):
         pos, quat, vel, omega = carry
 
@@ -483,20 +383,58 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         pos_i = pos + h * vel_i
         quat_i = math3d.quat_integrate(quat, omega_i, h)
 
-        # --- contacts --------------------------------------------------
-        verts_world = pos_i[:, None, :] + math3d.quat_rotate(
-            quat_i[:, None, :], verts_local)
-        cp = _gen_plane_contacts(cfg, pos_i, quat_i, verts_world,
-                                 bodies.active, statics)
-        cw = _gen_wall_contacts(cfg, verts_world, bodies.active,
-                                bodies.friction_mu, statics)
-        cd = _gen_pair_contacts(cfg, pos_i, quat_i, bodies.half_ext,
-                                verts_world, bodies.active,
-                                bodies.friction_mu)
-        contacts = _concat_contacts(cp, cw, cd)
+        # --- contact generation (dense structured groups) --------------
+        verts_w = pos_i[:, None, :] + math3d.quat_rotate(
+            quat_i[:, None, :], verts_local)          # [B, 8, 3]
 
-        dpos, drot, lam_n = solve_positions(
-            cfg, pos_i, quat_i, eff_inv_m, eff_inv_I, contacts)
+        # Planes: [B, 8, P]
+        rel_p = verts_w[:, :, None, :] - statics.plane_point[None, None]
+        d_plane = jnp.einsum("bvpk,pk->bvp", rel_p, statics.plane_normal)
+        plane_depth = -d_plane
+        plane_mask = (plane_depth > 0.0) & active[:, None, None] & \
+            statics.plane_active[None, None, :]
+        plane_n = jnp.broadcast_to(
+            statics.plane_normal[None, None], (n_body, 8, n_plane, 3))
+        plane_p = jnp.broadcast_to(
+            verts_w[:, :, None, :], (n_body, 8, n_plane, 3))
+
+        # Walls (AABBs): [B, 8, W]
+        rel_w = verts_w[:, :, None, :] - statics.wall_pos[None, None]
+        qw = jnp.abs(rel_w) - statics.wall_half_ext[None, None]
+        wall_sdf = jnp.max(qw, axis=-1)
+        kw = jnp.argmax(qw, axis=-1)
+        wall_n = jnp.sign(jnp.take_along_axis(rel_w, kw[..., None], -1)) * \
+            jax.nn.one_hot(kw, 3, dtype=rel_w.dtype)
+        wall_depth = -wall_sdf
+        wall_mask = (wall_depth > 0.0) & active[:, None, None] & \
+            statics.wall_active[None, None, :]
+        wall_p = jnp.broadcast_to(
+            verts_w[:, :, None, :], (n_body, 8, n_wall, 3))
+
+        # Dynamic pairs: vertex of a in b's frame: [A, 8, B]
+        rel_d = verts_w[:, :, None, :] - pos_i[None, None, :, :]
+        p_local = math3d.quat_rotate_inv(quat_i[None, None, :, :], rel_d)
+        pair_sdf, n_local = convex_sdf_local(
+            p_local, bodies.half_ext[None, None], is_ramp[None, None, :])
+        pair_n = math3d.quat_rotate(quat_i[None, None, :, :], n_local)
+        pair_depth = -pair_sdf
+        pair_mask = (pair_depth > 0.0) & pair_valid
+        pair_p = jnp.broadcast_to(
+            verts_w[:, :, None, :], (n_body, 8, n_body, 3))
+
+        # --- position solve (Jacobi, count-normalized) -----------------
+        o_pl = _solve_static_group(pos_i, quat_i, eff_inv_m, eff_inv_I,
+                                   plane_p, plane_n, plane_depth, plane_mask)
+        o_wl = _solve_static_group(pos_i, quat_i, eff_inv_m, eff_inv_I,
+                                   wall_p, wall_n, wall_depth, wall_mask)
+        o_pr = _solve_pair_group(pos_i, quat_i, eff_inv_m, eff_inv_I,
+                                 pair_p, pair_n, pair_depth, pair_mask)
+
+        cnt = o_pl.cnt + o_wl.cnt + o_pr.cnt
+        norm = 1.0 / jnp.maximum(cnt, 1.0)
+        dpos = (o_pl.dpos + o_wl.dpos + o_pr.dpos) * norm[:, None]
+        drot = (o_pl.drot + o_wl.drot + o_pr.drot) * norm[:, None]
+
         pos_c = pos_i + dpos
         quat_c = _apply_rot(quat_i, drot)
 
@@ -511,9 +449,20 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         omega_n = 2.0 / h * dq[:, 1:] * jnp.sign(dq[:, :1])
 
         # --- velocity pass: dynamic friction --------------------------
-        vel_n, omega_n = velocity_friction(
-            cfg, pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
-            contacts, lam_n, h)
+        f_pl = _friction_static_group(
+            pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
+            plane_p, plane_n, plane_mask, plane_mu, o_pl.lam, h)
+        f_wl = _friction_static_group(
+            pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
+            wall_p, wall_n, wall_mask, wall_mu, o_wl.lam, h)
+        f_pr = _friction_pair_group(
+            pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
+            pair_p, pair_n, pair_mask, pair_mu, o_pr.lam, h)
+
+        fcnt = f_pl[2] + f_wl[2] + f_pr[2]
+        fnorm = 1.0 / jnp.maximum(fcnt, 1.0)
+        vel_n = vel_n + (f_pl[0] + f_wl[0] + f_pr[0]) * fnorm[:, None]
+        omega_n = omega_n + (f_pl[1] + f_wl[1] + f_pr[1]) * fnorm[:, None]
 
         # Frozen bodies keep zero velocity.
         vel_n = jnp.where(dynamic[:, None], vel_n, 0.0)

@@ -45,23 +45,26 @@ class RecurrentBackboneEncoder(nn.Module):
     net: nn.Module
     rnn: nn.Module
 
+    def setup(self):
+        # Shared by __call__ and sequence; must live in setup so both
+        # methods resolve the same parameters.
+        self.rnn_norm = nn.LayerNorm()
+
     def init_recurrent_state(self, n):
         return self.rnn.init_recurrent_state(n)
 
     def clear_recurrent_state(self, states, should_clear):
         return self.rnn.clear_recurrent_state(states, should_clear)
 
-    @nn.compact
     def __call__(self, rnn_states, obs, train):
         features = self.net(obs, train)
         out, new_states = self.rnn(rnn_states, features, train)
-        out = nn.LayerNorm(dtype=out.dtype, name="rnn_norm")(out)
-        return out, new_states
+        return self.rnn_norm(out), new_states
 
     def sequence(self, start_states, seq_ends, seq_obs, train):
         features = self.net(seq_obs, train)
         outs = self.rnn.sequence(start_states, seq_ends, features, train)
-        return nn.LayerNorm(dtype=outs.dtype, name="rnn_norm")(outs)
+        return self.rnn_norm(outs)
 
 
 class BackboneShared(nn.Module):

@@ -1,0 +1,376 @@
+"""Training manager: the fused actor-learner state machine.
+
+Capability parity with madrona_learn's `init_training` / `TrainingManager`
+(reference usage: jax_train.py:246-279 — update_iter inside
+lax.fori_loop, AOT compilation, checkpoint save/restore, stop_training,
+cfg_jax_mem). The entire update (rollout scan + PPO epochs + PBT
+bookkeeping + ELO) is one pure function on a pytree state, so
+`lax.fori_loop(0, K, update_iter)` compiles into a single XLA program —
+the defining performance property of the reference design (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from marl_hideandseek_tpu.env import HideAndSeekEnv
+from marl_hideandseek_tpu.models import Policy
+from marl_hideandseek_tpu.train import elo as elo_mod
+from marl_hideandseek_tpu.train import pbt as pbt_mod
+from marl_hideandseek_tpu.train.cfg import TrainConfig
+from marl_hideandseek_tpu.train.ppo import make_optimizer, ppo_update
+from marl_hideandseek_tpu.train.rollout import (
+    RolloutState,
+    collect_rollout,
+)
+
+
+@struct.dataclass
+class PolicyStatesMMR:
+    elo: jnp.ndarray  # [P_total]
+
+
+@struct.dataclass
+class PolicyStates:
+    mmr: PolicyStatesMMR
+
+
+@struct.dataclass
+class TrainStates:
+    hyper_params: Any  # dict with 'lr', 'entropy_coef' per train policy
+
+
+@struct.dataclass
+class TrainingState:
+    """All mutable training state (one pytree)."""
+
+    params: Any          # leading axis = num_train_policies
+    opt_states: Any
+    past_params: Any     # leading axis = num_past_policies (may be empty)
+    obs_stats: Any       # EMA normalizer state
+    rollout: RolloutState
+    hyper_params: Dict[str, jnp.ndarray]
+    elo: jnp.ndarray     # [P_total]
+    update_idx: jnp.ndarray
+    key: jnp.ndarray
+    metrics: Dict[str, jnp.ndarray]  # ring buffers [metrics_buffer_size]
+
+
+@struct.dataclass
+class TrainingManager:
+    """Facade bundling static objects with the mutable TrainingState.
+
+    Mirrors the reference training_mgr object surface: `update_iter()`,
+    `update_idx`, `state.train_states.hyper_params.lr`,
+    `state.policy_states.mmr.elo`, `save_ckpt`, `log_metrics_tensorboard`.
+    """
+
+    state: TrainingState
+    env: HideAndSeekEnv = struct.field(pytree_node=False)
+    policy: Policy = struct.field(pytree_node=False)
+    cfg: TrainConfig = struct.field(pytree_node=False)
+
+    # -- reference-shaped accessors ---------------------------------------
+
+    @property
+    def update_idx(self):
+        return self.state.update_idx
+
+    @property
+    def train_states(self):
+        return TrainStates(hyper_params=_HyperView(self.state.hyper_params))
+
+    @property
+    def policy_states(self):
+        return PolicyStates(mmr=PolicyStatesMMR(elo=self.state.elo))
+
+    # -- core update -------------------------------------------------------
+
+    def all_params(self):
+        """Concatenate train + past policies along the policy axis."""
+        st = self.state
+        if not jax.tree_util.tree_leaves(st.past_params):
+            return st.params
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            st.params, st.past_params)
+
+    def update_iter(self) -> "TrainingManager":
+        """One training update: rollout + normalizer update + PPO + PBT.
+
+        Pure; usable inside lax.fori_loop (reference: jax_train.py:230-241).
+        """
+        cfg = self.cfg
+        st = self.state
+        norm = self.policy.obs_preprocess
+
+        new_rollout, buffer, roll_metrics = collect_rollout(
+            cfg, self.env, self.policy, self.all_params(), st.obs_stats,
+            st.rollout)
+
+        # EMA normalizer update from the freshly collected obs.
+        flat_obs = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[3:]), buffer.obs)
+        obs_stats = norm.update_state(st.obs_stats, flat_obs)
+
+        key, k_ppo, k_pbt = jax.random.split(st.key, 3)
+        tx = make_optimizer(cfg)
+        params, opt_states, ppo_metrics = ppo_update(
+            cfg, self.policy, tx, st.params, st.opt_states, obs_stats,
+            st.hyper_params, buffer, k_ppo)
+
+        # ELO from finished training episodes: team 0 = first half of agent
+        # slots, team 1 = second half.
+        a_per_w = self.env.cfg.max_agents
+        w = self.env.cfg.num_worlds
+        assigns = buffer.assignments.reshape(
+            cfg.num_bptt_chunks, -1, w, a_per_w)
+        team_pol = jnp.stack(
+            [assigns[..., 0], assigns[..., a_per_w // 2]], axis=-1)
+        idx_a, idx_b, score_a, valid = elo_mod.matches_from_episode_results(
+            roll_metrics["episode_results"], team_pol,
+            roll_metrics["dones_w"])
+        elo = elo_mod.update_elo_pairwise(st.elo, idx_a, idx_b, score_a,
+                                          valid)
+
+        update_idx = st.update_idx + 1
+        past_params = st.past_params
+
+        if cfg.pbt is not None:
+            def do_pbt(args):
+                params, opt_states, hyper, past, elo = args
+                params, opt_states, hyper = pbt_mod.explore_exploit(
+                    cfg, k_pbt, elo, params, opt_states, hyper)
+                past, elo = pbt_mod.refresh_past_policies(
+                    cfg, update_idx, params, past, elo)
+                return params, opt_states, hyper, past, elo
+
+            do = (update_idx % cfg.pbt.explore_interval) == 0
+            params, opt_states, hyper_params, past_params, elo = \
+                jax.lax.cond(
+                    do, do_pbt, lambda a: a,
+                    (params, opt_states, st.hyper_params, past_params, elo))
+        else:
+            hyper_params = st.hyper_params
+
+        # Ring-buffered metrics (reference: metrics_buffer_size=10,
+        # jax_train.py:168).
+        slot = st.update_idx % cfg.metrics_buffer_size
+        metrics = dict(st.metrics)
+        scalars = {
+            "loss": jnp.mean(ppo_metrics["loss"]),
+            "action_loss": jnp.mean(ppo_metrics["action_loss"]),
+            "value_loss": jnp.mean(ppo_metrics["value_loss"]),
+            "entropy": jnp.mean(ppo_metrics["entropy"]),
+            "mean_reward": roll_metrics["mean_reward"],
+        }
+        for k, v in scalars.items():
+            metrics[k] = metrics[k].at[slot].set(v)
+
+        new_state = TrainingState(
+            params=params,
+            opt_states=opt_states,
+            past_params=past_params,
+            obs_stats=obs_stats,
+            rollout=new_rollout,
+            hyper_params=hyper_params,
+            elo=elo,
+            update_idx=update_idx,
+            key=key,
+            metrics=metrics,
+        )
+        return self.replace(state=new_state)
+
+    # -- evaluation --------------------------------------------------------
+
+    def eval_elo(self, num_steps: Optional[int] = None) -> "TrainingManager":
+        """Dedicated ELO evaluation pass: fresh matchups, frozen params
+        (reference: madrona_learn.eval_elo)."""
+        cfg = self.cfg
+        st = self.state
+        steps = num_steps or cfg.steps_per_update * 6
+
+        # Reuse the rollout machinery with a larger horizon by running
+        # several collect passes; env/rollout state changes are discarded.
+        eval_cfg = dataclasses.replace(
+            cfg, steps_per_update=steps,
+            num_bptt_chunks=1)
+        rollout = st.rollout
+        _, buffer, metrics = collect_rollout(
+            eval_cfg, self.env, self.policy, self.all_params(),
+            st.obs_stats, rollout)
+
+        a_per_w = self.env.cfg.max_agents
+        w = self.env.cfg.num_worlds
+        assigns = buffer.assignments.reshape(1, -1, w, a_per_w)
+        team_pol = jnp.stack(
+            [assigns[..., 0], assigns[..., a_per_w // 2]], axis=-1)
+        idx_a, idx_b, score_a, valid = elo_mod.matches_from_episode_results(
+            metrics["episode_results"], team_pol, metrics["dones_w"])
+        elo = elo_mod.update_elo_pairwise(st.elo, idx_a, idx_b, score_a,
+                                          valid)
+        return self.replace(state=st.replace(elo=elo))
+
+    # -- host-side utilities (not jittable) -------------------------------
+
+    def save_ckpt(self, ckpt_dir: str):
+        """Write the training state with orbax (reference:
+        training_mgr.save_ckpt, jax_train.py:277)."""
+        import orbax.checkpoint as ocp
+
+        step = int(self.state.update_idx)
+        path = os.path.abspath(os.path.join(ckpt_dir, str(step)))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.state, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore_ckpt(self, path: str) -> "TrainingManager":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), self.state)
+        return self.replace(state=restored)
+
+    def log_metrics_tensorboard(self, writer):
+        """Flush the ring-buffered metrics to a writer."""
+        step = int(self.state.update_idx)
+        n = min(step, self.cfg.metrics_buffer_size)
+        for k, buf in self.state.metrics.items():
+            vals = jax.device_get(buf)
+            for i in range(n):
+                writer.scalar(f"train/{k}", float(vals[i]),
+                              step - n + i + 1)
+
+
+class _HyperView:
+    """Attribute view over the hyper_params dict (reference spelling:
+    training_mgr.state.train_states.hyper_params.lr)."""
+
+    def __init__(self, d):
+        self._d = d
+
+    def __getattr__(self, k):
+        try:
+            return self._d[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
+                  restore_ckpt: Optional[str] = None,
+                  profile_port: Optional[int] = None) -> TrainingManager:
+    """Build env state, policy params, optimizer and rollout state
+    (reference: madrona_learn.init_training, jax_train.py:249-251)."""
+    if profile_port is not None:
+        jax.profiler.start_server(profile_port)
+
+    env: HideAndSeekEnv = env_or_fns
+    key = jax.random.PRNGKey(cfg.seed)
+    k_env, k_param, k_roll, k_hyper, k_state = jax.random.split(key, 5)
+
+    env_state, result = jax.jit(env.init)(k_env)
+    norm = policy.obs_preprocess
+    n_agents = env.cfg.num_worlds * env.cfg.max_agents
+    # Policy batch axis = flattened worlds x agents.
+    obs = jax.tree.map(
+        lambda x: x.reshape((n_agents,) + x.shape[2:]),
+        norm.prep(result.obs))
+    obs_stats = norm.init_state(obs)
+
+    rnn0 = policy.actor_critic.init_recurrent_state(n_agents)
+    flat_obs = obs
+
+    def init_one(k):
+        return policy.actor_critic.init(k, rnn0, flat_obs)
+
+    n_train = cfg.num_train_policies
+    params = jax.vmap(init_one)(jax.random.split(k_param, n_train))
+
+    tx = make_optimizer(cfg)
+    opt_states = jax.vmap(tx.init)(params)
+
+    n_past = cfg.total_policies - n_train
+    if n_past > 0:
+        past_params = jax.tree.map(
+            lambda x: jnp.repeat(x[:1], n_past, axis=0), params)
+    else:
+        past_params = {}  # empty pytree (orbax rejects zero-size arrays)
+
+    assignments = jnp.zeros((n_agents,), jnp.int32)
+    rollout = RolloutState(
+        env_state=env_state,
+        obs=obs,
+        rnn_states=rnn0,
+        assignments=assignments,
+        key=k_roll,
+    )
+
+    metrics = {
+        k: jnp.zeros((cfg.metrics_buffer_size,))
+        for k in ("loss", "action_loss", "value_loss", "entropy",
+                  "mean_reward")
+    }
+
+    state = TrainingState(
+        params=params,
+        opt_states=opt_states,
+        past_params=past_params,
+        obs_stats=obs_stats,
+        rollout=rollout,
+        hyper_params=pbt_mod.init_hyper_params(cfg, k_hyper),
+        elo=jnp.full((cfg.total_policies,), elo_mod.ELO_START),
+        update_idx=jnp.zeros((), jnp.int32),
+        key=k_state,
+        metrics=metrics,
+    )
+    mgr = TrainingManager(state=state, env=env, policy=policy, cfg=cfg)
+    if restore_ckpt:
+        mgr = mgr.restore_ckpt(restore_ckpt)
+    return mgr
+
+
+def aot_compile(fn, mgr: TrainingManager):
+    """Ahead-of-time compile fn(mgr) -> mgr (reference:
+    madrona_learn.aot_compile, jax_train.py:257-259). Returns a callable
+    with the reference's (err, result) convention folded away: we return
+    a `(err, result)` tuple where err.throw() is a no-op, matching the
+    call sites in the reference train script."""
+    compiled = jax.jit(fn).lower(mgr).compile()
+
+    class _NoErr:
+        def throw(self):
+            return None
+
+    def call(m):
+        return _NoErr(), compiled(m)
+
+    return call
+
+
+def stop_training(mgr: TrainingManager):
+    """Tear-down hook (reference: madrona_learn.stop_training). The TPU
+    build has no external sim process to stop; provided for API parity."""
+    return None
+
+
+def cfg_jax_mem(fraction: float):
+    """Set the XLA preallocation fraction (reference:
+    madrona_learn.cfg_jax_mem, jax_train.py:28)."""
+    os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", str(fraction))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHooks:
+    """Extension hooks (reference: TrainHooks subclassed at
+    jax_train.py:91-93). Round 1: carried for API parity."""
+
+    pass

@@ -1,0 +1,194 @@
+"""PPO update with BPTT sequence replay and policy-ensemble masking.
+
+The learner half of the fused actor-learner program. Capability parity with
+madrona_learn's PPO (reference config surface: jax_train.py:154-169 —
+clipped surrogate (clip 0.2), Dreamer-V3 two-hot value loss, entropy bonus,
+grad-norm clip 5, Adam, num_epochs x num_minibatches, BPTT replay through
+the stored LSTM chunk start states).
+
+Ensemble (PBT) training: each train policy's loss is the assignment-masked
+mean over its own agents; the per-policy (params, opt_state) are vmapped so
+all members update in one program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from marl_hideandseek_tpu.models import (
+    DiscreteActionDistributions,
+    Policy,
+)
+from marl_hideandseek_tpu.train.cfg import TrainConfig
+from marl_hideandseek_tpu.train.rollout import RolloutBuffer, compute_gae
+
+
+def make_optimizer(cfg: TrainConfig):
+    """Gradient transform without the lr step — per-policy learning rates
+    (PBT-explorable) are applied in ppo_update."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.algo.max_grad_norm),
+        optax.scale_by_adam(),
+    )
+
+
+def _policy_loss(cfg: TrainConfig, policy: Policy, params, obs_stats,
+                 minibatch, policy_idx):
+    """Loss for one train policy over one minibatch.
+
+    minibatch leaves: [C, T, M, ...] sequences for M agents.
+    """
+    norm = policy.obs_preprocess
+    ac = policy.actor_critic
+    c, t, m = minibatch["log_probs"].shape
+
+    # Merge the chunk axis into batch: sequences of length T, batch C*M.
+    def merge(x):  # [C, T, M, ...] -> [T, C*M, ...]
+        x = jnp.swapaxes(x, 0, 1)  # [T, C, M, ...]
+        return x.reshape((t, c * m) + x.shape[3:])
+
+    seq_obs = jax.tree.map(merge, minibatch["obs"])
+    seq_obs = norm.normalize(obs_stats, seq_obs)
+    seq_ends = merge(minibatch["dones"])
+    start_rnn = jax.tree.map(
+        lambda x: _merge_rnn(x, c, m), minibatch["rnn_start"])
+
+    dists, critic_out = ac.apply(params, start_rnn, seq_ends, seq_obs,
+                                 method=ac.sequence)
+
+    actions = merge(minibatch["actions"])
+    old_lp = merge(minibatch["log_probs"])
+    advantages = merge(minibatch["advantages"])
+    returns = merge(minibatch["returns"])
+    old_values = merge(minibatch["values"])
+    mask = (merge(minibatch["assignments"]) == policy_idx).astype(
+        jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+    # Masked advantage normalization.
+    adv_mean = jnp.sum(advantages * mask) / denom
+    adv_var = jnp.sum(jnp.square(advantages - adv_mean) * mask) / denom
+    advantages = (advantages - adv_mean) * jax.lax.rsqrt(adv_var + 1e-5)
+
+    new_lp = dists.log_prob(actions)
+    ratio = jnp.exp(new_lp - old_lp)
+    clip = cfg.algo.clip_coef
+    surr1 = ratio * advantages
+    surr2 = jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * advantages
+    action_loss = -jnp.sum(jnp.minimum(surr1, surr2) * mask) / denom
+
+    if cfg.dreamer_v3_critic:
+        v_losses = ac.critic.two_hot_loss(critic_out["logits"], returns)
+    else:
+        values = critic_out["value"][..., 0]
+        if cfg.algo.clip_value_loss:
+            v_clipped = old_values + jnp.clip(
+                values - old_values, -clip, clip)
+            v_losses = jnp.maximum(
+                jnp.square(values - returns), jnp.square(v_clipped - returns))
+        else:
+            v_losses = jnp.square(values - returns)
+    value_loss = jnp.sum(v_losses * mask) / denom
+
+    entropy = jnp.sum(dists.entropy() * mask) / denom
+
+    return action_loss, value_loss, entropy, ratio, mask, denom
+
+
+def _merge_rnn(x, c, m):
+    """rnn start leaves [C, L, M, H] -> [L, C*M, H]."""
+    x = jnp.moveaxis(x, 0, -3)  # [L, C, M, H]
+    return x.reshape(x.shape[:-3] + (c * m,) + x.shape[-1:])
+
+
+def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
+               all_opt_states, obs_stats, hyper_params, buffer: RolloutBuffer,
+               key):
+    """Full PPO update: epochs x minibatches over the rollout buffer.
+
+    all_params/all_opt_states: leading axis = num_train_policies.
+    hyper_params: dict with per-policy 'lr' and 'entropy_coef' arrays.
+    Returns (params, opt_states, metrics).
+    """
+    n_train = cfg.num_train_policies
+    c, t, n = buffer.log_probs.shape
+    advantages, returns = compute_gae(cfg, buffer)
+
+    data = {
+        "obs": buffer.obs,
+        "actions": buffer.actions,
+        "log_probs": buffer.log_probs,
+        "values": buffer.values,
+        "dones": buffer.dones,
+        "assignments": buffer.assignments,
+        "advantages": advantages,
+        "returns": returns,
+        "rnn_start": buffer.rnn_start_states,
+    }
+
+    num_mb = cfg.algo.num_mini_batches
+    assert n % num_mb == 0, "agents must divide into minibatches"
+    mb_size = n // num_mb
+
+    def epoch_fn(carry, epoch_key):
+        all_params, all_opt_states = carry
+        perm = jax.random.permutation(epoch_key, n)
+
+        def mb_fn(carry, mb_idx):
+            all_params, all_opt_states = carry
+            idx = jax.lax.dynamic_slice_in_dim(
+                perm, mb_idx * mb_size, mb_size)
+
+            def take_agents(x):  # [C, T, N, ...] over agent axis 2
+                return jnp.take(x, idx, axis=2)
+
+            def take_rnn(x):  # [C, L, N, H] over agent axis 2
+                return jnp.take(x, idx, axis=2)
+
+            mb = {k: (jax.tree.map(take_rnn, v) if k == "rnn_start"
+                      else jax.tree.map(take_agents, v))
+                  for k, v in data.items()}
+
+            def one_policy(params, opt_state, p_idx, lr, ent_coef):
+                def loss_fn(p):
+                    a_l, v_l, ent, ratio, mask, denom = _policy_loss(
+                        cfg, policy, p, obs_stats, mb, p_idx)
+                    total = (a_l + cfg.algo.value_loss_coef * v_l -
+                             ent_coef * ent)
+                    return total, (a_l, v_l, ent)
+
+                (total, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                # Apply the per-policy (PBT-explored) learning rate.
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, new_opt, (total,) + aux
+
+            p_indices = jnp.arange(n_train)
+            new_params, new_opts, auxes = jax.vmap(one_policy)(
+                all_params, all_opt_states, p_indices,
+                hyper_params["lr"], hyper_params["entropy_coef"])
+            return (new_params, new_opts), auxes
+
+        (all_params, all_opt_states), auxes = jax.lax.scan(
+            mb_fn, (all_params, all_opt_states), jnp.arange(num_mb))
+        return (all_params, all_opt_states), auxes
+
+    epoch_keys = jax.random.split(key, cfg.algo.num_epochs)
+    (all_params, all_opt_states), auxes = jax.lax.scan(
+        epoch_fn, (all_params, all_opt_states), epoch_keys)
+
+    total, a_l, v_l, ent = auxes
+    metrics = {
+        "loss": jnp.mean(total, axis=(0, 1)),
+        "action_loss": jnp.mean(a_l, axis=(0, 1)),
+        "value_loss": jnp.mean(v_l, axis=(0, 1)),
+        "entropy": jnp.mean(ent, axis=(0, 1)),
+    }
+    return all_params, all_opt_states, metrics

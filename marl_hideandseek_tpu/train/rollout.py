@@ -1,0 +1,256 @@
+"""On-device rollout collection.
+
+The actor half of the fused actor-learner loop (SURVEY.md §3.3): a
+`lax.scan` over the jitted env step interleaved with policy inference,
+storing BPTT-chunked sequences exactly like the reference trainer
+(steps_per_update=40 split into num_bptt_chunks sequences with LSTM start
+states captured at chunk boundaries; reference recipe jax_train.sh:22-23).
+
+Policy ensembles (PBT) are handled by applying every policy to the full
+agent batch and selecting outputs by per-agent assignment — exact routing
+semantics of the reference's policy_assignments tensor
+(reference: src/mgr.cpp:1322-1331) at small ensemble sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from marl_hideandseek_tpu.env import HideAndSeekEnv
+from marl_hideandseek_tpu.models import Policy
+from marl_hideandseek_tpu.train.cfg import TrainConfig
+
+
+@struct.dataclass
+class RolloutState:
+    """Carried actor state between updates."""
+
+    env_state: Any
+    obs: Any                   # prepped (pre-normalization) current obs
+    rnn_states: Any            # per-agent recurrent state, [.., N, C] leaves
+    assignments: jnp.ndarray   # [N] i32 policy index per agent
+    key: jnp.ndarray
+
+
+@struct.dataclass
+class RolloutBuffer:
+    """[C, T/C, N, ...] stored sequences (C = bptt chunks)."""
+
+    obs: Any
+    actions: jnp.ndarray       # [C, T/C, N, n_action_dims] i32
+    log_probs: jnp.ndarray     # [C, T/C, N]
+    values: jnp.ndarray        # [C, T/C, N]
+    rewards: jnp.ndarray       # [C, T/C, N]
+    dones: jnp.ndarray         # [C, T/C, N] bool
+    assignments: jnp.ndarray   # [C, T/C, N] i32
+    rnn_start_states: Any      # [C, ..., N, C'] leaves: state at chunk start
+    bootstrap_value: jnp.ndarray  # [N] value of the post-rollout obs
+
+
+def apply_ensemble(policy: Policy, all_params, rnn_states, obs,
+                   assignments, num_policies: int):
+    """Apply every policy, select by assignment.
+
+    all_params: pytree with leading policy axis P.
+    Returns (dists_logits, values, new_rnn_states) routed per agent.
+    """
+    def one(params):
+        dists, critic_out, new_rnn = policy.actor_critic.apply(
+            params, rnn_states, obs)
+        return dists.logits, critic_out["value"][..., 0], new_rnn
+
+    if num_policies == 1:
+        params0 = jax.tree.map(lambda x: x[0], all_params)
+        logits, values, new_rnn = one(params0)
+        return logits, values, new_rnn
+
+    logits_all, values_all, rnn_all = jax.vmap(one)(all_params)  # [P, N, ..]
+    sel = assignments  # [N]
+    take = lambda arr: jnp.take_along_axis(
+        arr, sel.reshape((1,) + sel.shape + (1,) * (arr.ndim - 2)),
+        axis=0)[0]
+    logits = take(logits_all)
+    values = take(values_all)
+    new_rnn = jax.tree.map(
+        lambda arr: _select_rnn(arr, sel), rnn_all)
+    return logits, values, new_rnn
+
+
+def _select_rnn(arr, sel):
+    """arr: [P, L, N, C] (or [P, N, C]); select policy per agent along P."""
+    n_axis = arr.ndim - 2  # the N axis (batch) position
+    idx = sel.reshape((1,) * n_axis + sel.shape + (1,))
+    idx = jnp.broadcast_to(idx, (1,) + arr.shape[1:])
+    return jnp.take_along_axis(arr, idx, axis=0)[0]
+
+
+def _resample_assignments(key, dones_w, assignments, cfg: TrainConfig,
+                          num_worlds, agents_per_world):
+    """Resample per-world team->policy assignments for finished episodes
+    (the reference resamples the policy_assignments tensor between
+    episodes). Matchmaking follows PBTConfig portions; with no PBT all
+    agents use policy 0."""
+    pbt = cfg.pbt
+    if pbt is None or pbt.total_policies == 1:
+        return assignments
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_train = pbt.num_train_policies
+    n_total = pbt.total_policies
+
+    # Team 0 always trains; team 1 is past/cross/self by the configured
+    # portions (reference defaults: past_play_portion=1.0,
+    # jax_train.py:108-110).
+    t0 = jax.random.randint(k1, (num_worlds,), 0, n_train)
+    r = jax.random.uniform(k2, (num_worlds,))
+    past = jax.random.randint(
+        k3, (num_worlds,), n_train, max(n_total, n_train + 1))
+    cross = jax.random.randint(k3, (num_worlds,), 0, n_train)
+    t1 = jnp.where(r < pbt.self_play_portion, t0,
+                   jnp.where(r < pbt.self_play_portion +
+                             pbt.cross_play_portion, cross,
+                             jnp.where(jnp.array(pbt.num_past_policies > 0),
+                                       past, cross)))
+
+    half = agents_per_world // 2
+    world_assign = jnp.concatenate([
+        jnp.repeat(t0[:, None], half, axis=1),
+        jnp.repeat(t1[:, None], agents_per_world - half, axis=1),
+    ], axis=1)  # [W, A]
+    new_flat = world_assign.reshape(-1)
+    done_flat = jnp.repeat(dones_w, agents_per_world)
+    return jnp.where(done_flat, new_flat, assignments).astype(jnp.int32)
+
+
+def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
+                    all_params, obs_stats, rollout: RolloutState):
+    """Run steps_per_update env steps, return (rollout', buffer, metrics).
+
+    obs_stats: the EMA normalizer state (frozen during collection; updated
+    by the caller from the collected raw obs).
+    """
+    num_worlds = env.cfg.num_worlds
+    a_per_w = env.cfg.max_agents
+    n_agents = num_worlds * a_per_w
+    t_per_chunk = cfg.steps_per_update // cfg.num_bptt_chunks
+    n_total_policies = cfg.total_policies
+    norm = policy.obs_preprocess
+
+    def flat(x):
+        return x.reshape((n_agents,) + x.shape[2:])
+
+    def step_fn(carry, step_key):
+        env_state, obs, rnn_states, assignments = carry
+
+        normalized = norm.normalize(obs_stats, obs)
+        logits, values, new_rnn = apply_ensemble(
+            policy, all_params, rnn_states, normalized, assignments,
+            n_total_policies)
+        from marl_hideandseek_tpu.models import DiscreteActionDistributions
+        dists = DiscreteActionDistributions(
+            tuple(cfg.actions.actions_num_buckets), logits)
+        k_act, k_assign = jax.random.split(step_key)
+        actions = dists.sample(k_act)
+        log_probs = dists.log_prob(actions)
+
+        env_state, result = env.step(
+            env_state, actions.reshape(num_worlds, a_per_w, -1))
+        # Flatten worlds x agents into the policy batch axis.
+        next_obs = jax.tree.map(flat, norm.prep(result.obs))
+
+        dones = flat(result.dones)[..., 0].astype(bool)
+        rewards = flat(result.rewards)[..., 0]
+
+        new_rnn = policy.actor_critic.clear_recurrent_state(new_rnn, dones)
+        dones_w = result.dones[:, 0, 0].astype(bool)
+        new_assign = _resample_assignments(
+            k_assign, dones_w, assignments, cfg, num_worlds, a_per_w)
+
+        store = {
+            "obs": obs,
+            "actions": actions,
+            "log_probs": log_probs,
+            "values": values,
+            "rewards": rewards,
+            "dones": dones,
+            "assignments": assignments,
+            "episode_results": result.episode_results,
+            "dones_w": dones_w,
+        }
+        return (env_state, next_obs, new_rnn, new_assign), store
+
+    def chunk_fn(carry, chunk_keys):
+        env_state, obs, rnn_states, assignments = carry
+        start_rnn = rnn_states
+        carry, stores = jax.lax.scan(
+            step_fn, (env_state, obs, rnn_states, assignments), chunk_keys)
+        stores["rnn_start"] = start_rnn
+        return carry, stores
+
+    key, sub = jax.random.split(rollout.key)
+    step_keys = jax.random.split(
+        sub, cfg.steps_per_update).reshape(
+            cfg.num_bptt_chunks, t_per_chunk, -1)
+
+    carry = (rollout.env_state, rollout.obs, rollout.rnn_states,
+             rollout.assignments)
+    carry, chunks = jax.lax.scan(chunk_fn, carry, step_keys)
+    env_state, final_obs, final_rnn, final_assign = carry
+
+    # Bootstrap value for GAE from the post-rollout obs.
+    normalized = norm.normalize(obs_stats, final_obs)
+    _, boot_values, _ = apply_ensemble(
+        policy, all_params, final_rnn, normalized, final_assign,
+        n_total_policies)
+
+    buffer = RolloutBuffer(
+        obs=chunks["obs"],
+        actions=chunks["actions"],
+        log_probs=chunks["log_probs"],
+        values=chunks["values"],
+        rewards=chunks["rewards"],
+        dones=chunks["dones"],
+        assignments=chunks["assignments"],
+        rnn_start_states=chunks["rnn_start"],
+        bootstrap_value=boot_values,
+    )
+    metrics = {
+        "episode_results": chunks["episode_results"],
+        "dones_w": chunks["dones_w"],
+        "mean_reward": jnp.mean(chunks["rewards"]),
+    }
+    new_rollout = RolloutState(
+        env_state=env_state, obs=final_obs, rnn_states=final_rnn,
+        assignments=final_assign, key=key)
+    return new_rollout, buffer, metrics
+
+
+def compute_gae(cfg: TrainConfig, buffer: RolloutBuffer):
+    """Masked GAE over the [C*T/C] time axis (gamma/lambda from
+    reference: jax_train.py:152-153)."""
+    c, t, n = buffer.rewards.shape
+    rewards = buffer.rewards.reshape(c * t, n)
+    values = buffer.values.reshape(c * t, n)
+    dones = buffer.dones.reshape(c * t, n).astype(jnp.float32)
+
+    def scan_fn(carry, xs):
+        gae, next_value = carry
+        r, v, d = xs
+        nonterminal = 1.0 - d
+        delta = r + cfg.gamma * next_value * nonterminal - v
+        gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+        return (gae, v), gae
+
+    (_, _), advantages = jax.lax.scan(
+        scan_fn,
+        (jnp.zeros((n,)), buffer.bootstrap_value),
+        (rewards, values, dones),
+        reverse=True,
+    )
+    returns = advantages + values
+    return (advantages.reshape(c, t, n), returns.reshape(c, t, n))

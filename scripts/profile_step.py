@@ -1,0 +1,66 @@
+"""Micro-profile of env.step components on the current backend.
+
+Times each phase of the step in isolation (jitted, vmapped over worlds) to
+locate the bottleneck. Usage: python scripts/profile_step.py [num_worlds]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from marl_hideandseek_tpu.config import EnvConfig, SimFlags
+from marl_hideandseek_tpu.env import HideAndSeekEnv, env as env_mod
+from marl_hideandseek_tpu.env import observations, physics
+
+
+def bench(name, fn, *args, iters=20):
+    fn = jax.jit(fn)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - start) / iters
+    print(f"{name:30s} {dt * 1e3:9.2f} ms")
+    return out
+
+
+def main():
+    w = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    cfg = EnvConfig(
+        num_worlds=w, min_hiders=2, max_hiders=2, min_seekers=2,
+        max_seekers=2,
+        sim_flags=SimFlags.ZeroAgentVelocity | SimFlags.RandomFlipTeams)
+    env = HideAndSeekEnv(cfg)
+    state, _ = jax.jit(env.init)(jax.random.PRNGKey(5))
+    actions = jnp.full((w, cfg.max_agents, 5), 2, jnp.int32)
+    actions = actions.at[..., 3:].set(0)
+
+    zeros_f = jnp.zeros((w, cfg.num_dyn_bodies, 3))
+
+    bench("physics only", jax.vmap(
+        lambda b, s, g: physics.physics_step(
+            cfg, b, s, g, zeros_f[0], zeros_f[0])),
+        state.bodies, state.statics, state.grab)
+
+    bench("movement+actions", jax.vmap(
+        lambda s, a: env_mod._action_system(cfg, s, a)), state, actions)
+
+    bench("obs build", jax.vmap(
+        functools.partial(observations.build_observations, cfg)), state)
+
+    bench("reward vis", jax.vmap(
+        functools.partial(observations.seeker_sees_hider, cfg)), state)
+
+    bench("full step", lambda s, a: env.step(s, a)[0], state, actions)
+
+
+if __name__ == "__main__":
+    main()

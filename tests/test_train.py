@@ -1,0 +1,136 @@
+"""Trainer smoke tests: update_iter runs, losses finite, params update,
+PBT ensemble + ELO machinery work at tiny scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_hideandseek_tpu.config import EnvConfig, SimFlags
+from marl_hideandseek_tpu.env import HideAndSeekEnv
+from marl_hideandseek_tpu.policy import make_policy
+from marl_hideandseek_tpu.train import (
+    ActionsConfig,
+    PBTConfig,
+    ParamExplore,
+    PPOConfig,
+    TrainConfig,
+    init_training,
+)
+
+W = 4
+
+
+def make_env():
+    cfg = EnvConfig(
+        num_worlds=W, min_hiders=1, max_hiders=1, min_seekers=1,
+        max_seekers=1,
+        sim_flags=SimFlags.ZeroAgentVelocity | SimFlags.UseFixedWorld)
+    return HideAndSeekEnv(cfg)
+
+
+def make_train_cfg(pbt=None, steps=8):
+    return TrainConfig(
+        num_worlds=W,
+        num_agents_per_world=2,
+        num_updates=2,
+        actions=ActionsConfig(actions_num_buckets=[5, 5, 5, 2, 2]),
+        steps_per_update=steps,
+        num_bptt_chunks=2,
+        lr=ParamExplore(base=1e-3, min_scale=0.1, max_scale=10.0,
+                        log10_scale=True) if pbt else 1e-3,
+        gamma=0.99,
+        gae_lambda=0.95,
+        algo=PPOConfig(num_mini_batches=1, num_epochs=1),
+        pbt=pbt,
+        dreamer_v3_critic=True,
+        seed=5,
+    )
+
+
+def test_single_policy_update():
+    env = make_env()
+    cfg = make_train_cfg()
+    policy = make_policy(dtype=jnp.float32)
+    mgr = init_training(None, cfg, env, policy)
+
+    update = jax.jit(lambda m: m.update_iter())
+    mgr2 = update(mgr)
+    assert int(mgr2.state.update_idx) == 1
+
+    # Params changed.
+    p0 = jax.tree_util.tree_leaves(mgr.state.params)
+    p1 = jax.tree_util.tree_leaves(mgr2.state.params)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in
+        zip(p0, p1))
+    assert changed
+
+    # Metrics finite.
+    for k in ("loss", "action_loss", "value_loss", "entropy"):
+        v = np.asarray(mgr2.state.metrics[k])
+        assert np.isfinite(v).all(), (k, v)
+
+    # Second update composes.
+    mgr3 = update(mgr2)
+    assert int(mgr3.state.update_idx) == 2
+    # Normalizer stats advanced.
+    assert float(mgr3.state.obs_stats.count) == 2.0
+
+
+def test_pbt_ensemble_update():
+    env = make_env()
+    pbt = PBTConfig(
+        num_teams=2, team_size=1, num_train_policies=2,
+        num_past_policies=2, past_play_portion=1.0,
+        explore_interval=1, past_policy_update_interval=1)
+    cfg = make_train_cfg(pbt=pbt)
+    policy = make_policy(dtype=jnp.float32)
+    mgr = init_training(None, cfg, env, policy)
+
+    # Ensemble axes.
+    leaf = jax.tree_util.tree_leaves(mgr.state.params)[0]
+    assert leaf.shape[0] == 2
+    past_leaf = jax.tree_util.tree_leaves(mgr.state.past_params)[0]
+    assert past_leaf.shape[0] == 2
+    assert mgr.state.elo.shape == (4,)
+    assert mgr.state.hyper_params["lr"].shape == (2,)
+
+    update = jax.jit(lambda m: m.update_iter())
+    mgr2 = update(mgr)
+    assert int(mgr2.state.update_idx) == 1
+    for k in ("loss", "entropy"):
+        assert np.isfinite(np.asarray(mgr2.state.metrics[k])).all()
+
+    # Reference-shaped accessors.
+    assert mgr2.state.elo.shape == (4,)
+    lrs = mgr2.train_states.hyper_params.lr
+    assert lrs.shape == (2,)
+    assert mgr2.policy_states.mmr.elo.shape == (4,)
+
+
+def test_eval_elo():
+    env = make_env()
+    pbt = PBTConfig(num_teams=2, team_size=1, num_train_policies=2,
+                    num_past_policies=0, past_play_portion=0.0,
+                    cross_play_portion=1.0)
+    cfg = make_train_cfg(pbt=pbt)
+    policy = make_policy(dtype=jnp.float32)
+    mgr = init_training(None, cfg, env, policy)
+    mgr2 = jax.jit(lambda m: m.eval_elo(num_steps=8))(mgr)
+    assert np.isfinite(np.asarray(mgr2.state.elo)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    env = make_env()
+    cfg = make_train_cfg()
+    policy = make_policy(dtype=jnp.float32)
+    mgr = init_training(None, cfg, env, policy)
+    mgr = jax.jit(lambda m: m.update_iter())(mgr)
+
+    path = mgr.save_ckpt(str(tmp_path))
+    mgr2 = init_training(None, cfg, env, policy, restore_ckpt=path)
+    assert int(mgr2.state.update_idx) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(mgr.state.params),
+                    jax.tree_util.tree_leaves(mgr2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
