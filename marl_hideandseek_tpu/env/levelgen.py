@@ -56,7 +56,7 @@ AGENT_HALF = jnp.array([1.0, 1.0, 1.0])
 RAMP_HALF = jnp.array([1.0, 1.5, 1.0])     # OBB of the wedge
 RAMP_CENTER_OFF = jnp.array([0.0, -0.5, 0.0])  # wedge OBB centre in body frame
 
-NUM_EXTRA_PLANES = 3  # debug levels add up to 2 side planes + slack
+NUM_EXTRA_PLANES = 2  # debug levels add up to 2 side planes
 MAX_PLANES = 1 + NUM_EXTRA_PLANES
 
 _MAX_REJECTIONS = 20  # reference: src/level_gen.cpp:123

@@ -2,29 +2,31 @@
 
 TPU-native replacement for the reference engine's XPBD solver + broadphase +
 narrowphase (SURVEY.md §2.4 E4/E5/E6; reference wiring: src/sim.cpp:19,
-1156-1173 — 4 substeps at dt=1/30). Design choices for the TPU:
+1156-1173 — 4 substeps at dt=1/30). The design is shaped by what is fast on
+the TPU VPU and what XLA will fuse, measured in round 1:
 
-  * No BVH / no entity compaction: fixed primitive slots with active masks.
-  * **No dynamic scatters in the hot path.** Contacts are kept in dense
-    structured groups — body-plane [B,8,P], body-wall [B,8,W], body-pair
-    [B,8,B] — so every per-body impulse accumulation is a plain masked
-    reduction over trailing axes, which XLA fuses into the VPU. (A flat
-    contact list + scatter_add lowers to serial scatter loops on TPU and is
-    ~1000x slower; measured in round 1.)
-  * Contact model: vertex-vs-convex-SDF in both directions per pair. Boxes
-    and agents are OBBs, ramps are wedges (5-halfspace convex), walls are
-    static AABBs, the floor is a plane. Vertex-face manifolds; edge-edge
-    crossings are approximated (the reference itself notes its physics
-    differs from the original OpenAI env, README.md:4).
-  * Jacobi (simultaneous) position solve with per-body count-normalized
-    corrections — the batched analogue of the reference's sequential
-    Gauss-Seidel sweep.
-  * Friction: velocity-pass dynamic friction clamped by the accumulated
-    normal lambda. Per-class mu_d values follow reference
-    src/mgr.cpp:476-559; pair mu = max(mu_a, mu_b).
-  * Grab joints: 3-dof anchor + 3-dof relative-rotation positional
-    constraints per agent slot (reference fixed joint: src/sim.cpp:343-357);
-    the only cross-body routing uses a tiny [A,B] one-hot matmul.
+  * **No dynamic scatters or gathers in the hot path** — TPU lowers both
+    poorly. All cross-body routing uses tiny one-hot einsums; all per-body
+    accumulation is masked reductions over dense trailing axes.
+  * **Broadphase once per step** (like the reference's per-step BVH build,
+    src/sim.cpp:1156): top-K candidate walls and neighbor bodies per body
+    by AABB separation.
+  * **Persistent contact manifold**: the full vertex-vs-convex narrowphase
+    runs once per step at predicted poses and selects the C deepest contact
+    candidates per body; each substep only refreshes depth/normal for those
+    [B, C] slots and solves them. This is the batched analogue of the
+    persistent manifolds every production engine uses, and keeps the
+    per-substep working set ~12x smaller than a full candidate sweep.
+  * Contact model: vertex-vs-convex-SDF (boxes/agents = OBBs, ramps =
+    wedges, walls = static AABBs, floor/side = planes). Vertex-face
+    manifolds; edge-edge crossings are approximated (the reference also
+    diverges from the original env physics, README.md:4).
+  * Jacobi position solve with per-body count-normalized corrections; XPBD
+    velocity-pass dynamic friction clamped by the accumulated normal
+    lambda (mu values per reference src/mgr.cpp:476-559; pair mu =
+    max(mu_a, mu_b)).
+  * Grab joints: 3-dof anchor + 3-dof relative-rotation constraints per
+    agent slot (reference fixed joint: src/sim.cpp:343-357).
 
 All functions are single-world; `env.py` vmaps the step.
 """
@@ -48,6 +50,12 @@ from marl_hideandseek_tpu.types import (
 
 GRAVITY = jnp.array([0.0, 0.0, -9.8])  # reference: src/sim.cpp:1360
 
+# Broadphase candidate budgets and manifold capacity.
+K_WALL = 8     # candidate walls per body
+K_PAIR = 8     # candidate neighbor bodies per body
+N_CONTACTS = 8  # persistent manifold slots per body
+BROADPHASE_MARGIN = 1.5
+
 # Wedge vertex set (padded to 8 like a box for uniform shapes); from
 # data/ramp_collision.obj.
 _WEDGE_VERTS = jnp.array([
@@ -68,6 +76,12 @@ _BOX_CORNER_SIGNS = jnp.array([
     for sz in (-1.0, 1.0)
 ])
 
+# Contact kinds in the manifold.
+KIND_NONE = 0
+KIND_PLANE = 1
+KIND_WALL = 2
+KIND_PAIR = 3
+
 
 def body_vertices_local(cfg: EnvConfig, half_ext: jnp.ndarray) -> jnp.ndarray:
     """[B, 8, 3] local-frame vertices per dynamic body slot."""
@@ -80,35 +94,48 @@ def body_vertices_local(cfg: EnvConfig, half_ext: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_ramp[:, None, None], wedge_verts, box_verts)
 
 
+def aabb_sdf_normal(rel: jnp.ndarray, half_ext):
+    """Box SDF + outward face normal, gather-free.
+
+    TPU note: argmax + take_along_axis/one_hot lower to gathers which are
+    slow on TPU; componentwise compares keep everything on the VPU.
+    rel: [..., 3] point relative to box centre. Returns (sdf, normal).
+    """
+    q = jnp.abs(rel) - half_ext
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    sdf = jnp.maximum(jnp.maximum(qx, qy), qz)
+    is_x = (qx >= qy) & (qx >= qz)
+    is_y = (~is_x) & (qy >= qz)
+    is_z = ~(is_x | is_y)
+    n = jnp.stack([
+        jnp.sign(rel[..., 0]) * is_x,
+        jnp.sign(rel[..., 1]) * is_y,
+        jnp.sign(rel[..., 2]) * is_z,
+    ], axis=-1)
+    return sdf, n
+
+
 def convex_sdf_local(p_local: jnp.ndarray, half_ext: jnp.ndarray,
                      is_ramp: jnp.ndarray):
     """Signed distance + outward normal of body shapes, local frame.
 
     p_local: [..., 3]; half_ext broadcastable [..., 3]; is_ramp [...] bool.
     sdf < 0 inside (max-face distance, exact inside for convex shapes).
+    Gather-free: face selection via comparisons (ties on edges blend the
+    adjoining face normals, which is a legitimate edge normal).
     """
-    q = jnp.abs(p_local) - half_ext
-    box_sdf = jnp.max(q, axis=-1)
-    k = jnp.argmax(q, axis=-1)
-    box_n = jnp.sign(
-        jnp.take_along_axis(p_local, k[..., None], axis=-1)
-    ) * jax.nn.one_hot(k, 3, dtype=p_local.dtype)
+    box_sdf, box_n = aabb_sdf_normal(p_local, half_ext)
 
     d = jnp.einsum("fk,...k->...f", WEDGE_NORMALS, p_local) - WEDGE_OFFSETS
     wedge_sdf = jnp.max(d, axis=-1)
-    fk = jnp.argmax(d, axis=-1)
-    wedge_n = WEDGE_NORMALS[fk]
+    sel = (d >= wedge_sdf[..., None]).astype(p_local.dtype)
+    wedge_n = jnp.einsum("...f,fk->...k", sel, WEDGE_NORMALS)
+    wedge_n = wedge_n / jnp.maximum(
+        jnp.linalg.norm(wedge_n, axis=-1, keepdims=True), 1e-9)
 
     sdf = jnp.where(is_ramp, wedge_sdf, box_sdf)
     normal = jnp.where(is_ramp[..., None], wedge_n, box_n)
     return sdf, normal
-
-
-class _GroupSolveOut(NamedTuple):
-    dpos: jnp.ndarray    # [B, 3] accumulated positional corrections
-    drot: jnp.ndarray    # [B, 3] accumulated rotation-vector corrections
-    cnt: jnp.ndarray     # [B] contact counts touching each body
-    lam: jnp.ndarray     # group-shaped normal lambdas (for friction pass)
 
 
 def _apply_inv_inertia(quat, inv_diag, u):
@@ -117,142 +144,339 @@ def _apply_inv_inertia(quat, inv_diag, u):
     return math3d.quat_rotate(quat, inv_diag * u_b)
 
 
-def _solve_static_group(pos_a, quat_a, w_lin_a, inv_I_a, p, n, depth, mask):
-    """Contacts of dynamic bodies (leading axis B) against static geometry.
+def _apply_rot(quat, drot):
+    """Apply rotation vectors to quaternions (small-angle update)."""
+    dq = 0.5 * jnp.concatenate(
+        [jnp.zeros_like(drot[..., :1]), drot], axis=-1)
+    return math3d.quat_normalize(quat + math3d.quat_mul(dq, quat))
 
-    p, n, depth, mask: [B, V, M, ...]; the static side has infinite mass.
-    Returns per-body accumulations (sums over V, M) + lambdas.
+
+def _body_world_aabb(cfg, pos, quat, half_ext, margin):
+    """[B, 3] lo/hi world AABBs (wedge uses its OBB with centre offset)."""
+    n_body = cfg.num_dyn_bodies
+    _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
+    slot = jnp.arange(n_body)
+    is_ramp = (slot >= ramp_lo) & (slot < ramp_hi)
+    offset = jnp.where(is_ramp[:, None], jnp.array([0.0, -0.5, 0.0]), 0.0)
+    center = pos + math3d.quat_rotate(quat, offset)
+    m = jnp.abs(math3d.quat_to_mat(quat))
+    world_half = jnp.einsum("bij,bj->bi", m, half_ext) + margin
+    return center - world_half, center + world_half
+
+
+def _aabb_separation(lo_a, hi_a, lo_b, hi_b):
+    """Max-axis separation distance (negative = overlapping)."""
+    gap = jnp.maximum(lo_a - hi_b, lo_b - hi_a)
+    return jnp.max(gap, axis=-1)
+
+
+class Manifold(NamedTuple):
+    """Per-body persistent contacts, all arrays [B, C, ...]."""
+
+    kind: jnp.ndarray        # [B, C] i32 (KIND_*)
+    v_local: jnp.ndarray     # [B, C, 3] contact vertex in a's frame
+    flat_n: jnp.ndarray      # [B, C, 3] plane normal (plane kind)
+    flat_pt: jnp.ndarray     # [B, C, 3] plane point / wall centre
+    wall_half: jnp.ndarray   # [B, C, 3] wall half extents (wall kind)
+    nb_onehot: jnp.ndarray   # [B, C, B] neighbor body one-hot (pair kind)
+    nb_half: jnp.ndarray     # [B, C, 3] neighbor half extents
+    nb_is_ramp: jnp.ndarray  # [B, C] neighbor shape flag
+    mu: jnp.ndarray          # [B, C] pair friction coefficient
+    valid: jnp.ndarray       # [B, C]
+
+
+def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
+                   pos_pred, quat_pred, verts_local) -> Manifold:
+    """Broadphase + narrowphase at predicted poses; keep the C deepest
+    candidates per body."""
+    n_body = cfg.num_dyn_bodies
+    _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
+    slot = jnp.arange(n_body)
+    is_ramp = (slot >= ramp_lo) & (slot < ramp_hi)
+    active = bodies.active
+    mu_body = bodies.friction_mu
+    n_plane = statics.plane_point.shape[0]
+    n_wall = statics.wall_pos.shape[0]
+
+    # ---- broadphase -----------------------------------------------------
+    b_lo, b_hi = _body_world_aabb(cfg, pos_pred, quat_pred,
+                                  bodies.half_ext, BROADPHASE_MARGIN)
+    w_lo = statics.wall_pos - statics.wall_half_ext
+    w_hi = statics.wall_pos + statics.wall_half_ext
+    wall_sep = _aabb_separation(
+        b_lo[:, None], b_hi[:, None], w_lo[None], w_hi[None])  # [B, NW]
+    wall_score = jnp.where(statics.wall_active[None, :], -wall_sep, -1e9)
+    wall_vals, wall_idx = jax.lax.top_k(wall_score, K_WALL)
+    wall_valid = wall_vals > 0.0
+    wall_oh = ((wall_idx[:, :, None] ==
+                jnp.arange(n_wall)[None, None, :]) &
+               wall_valid[:, :, None]).astype(pos_pred.dtype)  # [B,Kw,NW]
+    wc_pos = jnp.einsum("bkw,wd->bkd", wall_oh, statics.wall_pos)
+    wc_half = jnp.maximum(
+        jnp.einsum("bkw,wd->bkd", wall_oh, statics.wall_half_ext), 1e-3)
+    wc_pos = jnp.where(wall_valid[..., None], wc_pos, 1e6)
+
+    pair_sep = _aabb_separation(
+        b_lo[:, None], b_hi[:, None], b_lo[None], b_hi[None])  # [B, B]
+    pair_ok = (active[:, None] & active[None, :] &
+               (slot[:, None] != slot[None, :]))
+    pair_score = jnp.where(pair_ok, -pair_sep, -1e9)
+    nb_vals, nb_idx = jax.lax.top_k(pair_score, K_PAIR)
+    nb_valid = nb_vals > 0.0
+    nb_oh = ((nb_idx[:, :, None] == slot[None, None, :]) &
+             nb_valid[:, :, None]).astype(pos_pred.dtype)      # [B,Kp,B]
+
+    def nbr(x):
+        if x.ndim == 1:
+            return jnp.einsum("bkc,c->bk", nb_oh, x)
+        return jnp.einsum("bkc,cd->bkd", nb_oh, x)
+
+    nbc_pos = jnp.where(nb_valid[..., None], nbr(pos_pred), 1e6)
+    nbc_quat = jnp.where(nb_valid[..., None], nbr(quat_pred),
+                         jnp.array([1.0, 0.0, 0.0, 0.0]))
+    nbc_half = jnp.maximum(nbr(bodies.half_ext), 1e-3)
+    nbc_is_ramp = nbr(is_ramp.astype(pos_pred.dtype)) > 0.5
+
+    # ---- narrowphase at predicted pose ---------------------------------
+    verts_w = pos_pred[:, None, :] + math3d.quat_rotate(
+        quat_pred[:, None, :], verts_local)            # [B, 8, 3]
+
+    # Plane candidates: [B, 8, P]
+    rel_p = verts_w[:, :, None, :] - statics.plane_point[None, None]
+    sdf_pl = jnp.einsum("bvpk,pk->bvp", rel_p, statics.plane_normal)
+    sdf_pl = jnp.where(statics.plane_active[None, None, :], sdf_pl, 1e9)
+
+    # Wall candidates: [B, 8, Kw]
+    rel_w = verts_w[:, :, None, :] - wc_pos[:, None, :, :]
+    sdf_wl, _ = aabb_sdf_normal(rel_w, wc_half[:, None])
+    sdf_wl = jnp.where(wall_valid[:, None, :], sdf_wl, 1e9)
+
+    # Pair candidates: [B, 8, Kp]
+    rel_d = verts_w[:, :, None, :] - nbc_pos[:, None, :, :]
+    pl = math3d.quat_rotate_inv(nbc_quat[:, None, :, :], rel_d)
+    sdf_pr, _ = convex_sdf_local(pl, nbc_half[:, None],
+                                 nbc_is_ramp[:, None, :])
+    sdf_pr = jnp.where(nb_valid[:, None, :], sdf_pr, 1e9)
+
+    # ---- candidate flattening + top-C selection ------------------------
+    n_cand = 8 * (n_plane + K_WALL + K_PAIR)
+    sdf_all = jnp.concatenate([
+        sdf_pl.reshape(n_body, 8 * n_plane),
+        sdf_wl.reshape(n_body, 8 * K_WALL),
+        sdf_pr.reshape(n_body, 8 * K_PAIR),
+    ], axis=1)                                           # [B, n_cand]
+    score = jnp.where(active[:, None], -sdf_all, -1e9)
+    top_vals, top_idx = jax.lax.top_k(score, N_CONTACTS)  # [B, C]
+    # Keep near-contacts too (they can engage during substeps).
+    sel_valid = top_vals > -BROADPHASE_MARGIN
+    sel_oh = ((top_idx[:, :, None] ==
+               jnp.arange(n_cand)[None, None, :]) &
+              sel_valid[:, :, None]).astype(pos_pred.dtype)  # [B,C,n_cand]
+
+    def pick(cand):  # [B, n_cand, D] -> [B, C, D]
+        if cand.ndim == 2:
+            return jnp.einsum("bcf,bf->bc", sel_oh, cand)
+        return jnp.einsum("bcf,bfd->bcd", sel_oh, cand)
+
+    # Candidate metadata in flattened order.
+    kind_cand = jnp.concatenate([
+        jnp.full((8 * n_plane,), KIND_PLANE, jnp.int32),
+        jnp.full((8 * K_WALL,), KIND_WALL, jnp.int32),
+        jnp.full((8 * K_PAIR,), KIND_PAIR, jnp.int32),
+    ])
+    kind = (jnp.einsum("bcf,f->bc", sel_oh, kind_cand.astype(jnp.float32))
+            + 0.5).astype(jnp.int32) * sel_valid
+
+    v_local_cand = jnp.concatenate([
+        jnp.broadcast_to(verts_local[:, :, None],
+                         (n_body, 8, n_plane, 3)).reshape(n_body, -1, 3),
+        jnp.broadcast_to(verts_local[:, :, None],
+                         (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
+        jnp.broadcast_to(verts_local[:, :, None],
+                         (n_body, 8, K_PAIR, 3)).reshape(n_body, -1, 3),
+    ], axis=1)
+
+    zeros3 = jnp.zeros((n_body, 8 * K_PAIR, 3))
+    flat_n_cand = jnp.concatenate([
+        jnp.broadcast_to(statics.plane_normal[None, None],
+                         (n_body, 8, n_plane, 3)).reshape(n_body, -1, 3),
+        jnp.zeros((n_body, 8 * K_WALL, 3)),
+        zeros3,
+    ], axis=1)
+    flat_pt_cand = jnp.concatenate([
+        jnp.broadcast_to(statics.plane_point[None, None],
+                         (n_body, 8, n_plane, 3)).reshape(n_body, -1, 3),
+        jnp.broadcast_to(wc_pos[:, None],
+                         (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
+        zeros3,
+    ], axis=1)
+    wall_half_cand = jnp.concatenate([
+        jnp.ones((n_body, 8 * n_plane, 3)),
+        jnp.broadcast_to(wc_half[:, None],
+                         (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
+        jnp.ones((n_body, 8 * K_PAIR, 3)),
+    ], axis=1)
+    nb_oh_cand = jnp.concatenate([
+        jnp.zeros((n_body, 8 * (n_plane + K_WALL), n_body)),
+        jnp.broadcast_to(nb_oh[:, None],
+                         (n_body, 8, K_PAIR, n_body)).reshape(
+                             n_body, -1, n_body),
+    ], axis=1)
+    nb_half_cand = jnp.concatenate([
+        jnp.ones((n_body, 8 * (n_plane + K_WALL), 3)),
+        jnp.broadcast_to(nbc_half[:, None],
+                         (n_body, 8, K_PAIR, 3)).reshape(n_body, -1, 3),
+    ], axis=1)
+    nb_is_ramp_cand = jnp.concatenate([
+        jnp.zeros((n_body, 8 * (n_plane + K_WALL))),
+        jnp.broadcast_to(nbc_is_ramp[:, None].astype(jnp.float32),
+                         (n_body, 8, K_PAIR)).reshape(n_body, -1),
+    ], axis=1)
+    # Friction: plane/wall muD = 2 (reference mgr.cpp:492,535), pairs
+    # combine with max.
+    mu_static = jnp.maximum(mu_body, 2.0)
+    mu_pair = jnp.maximum(mu_body[:, None], nbr(mu_body))
+    mu_cand = jnp.concatenate([
+        jnp.broadcast_to(mu_static[:, None],
+                         (n_body, 8 * (n_plane + K_WALL))),
+        jnp.broadcast_to(mu_pair[:, None],
+                         (n_body, 8, K_PAIR)).reshape(n_body, -1),
+    ], axis=1)
+
+    return Manifold(
+        kind=kind,
+        v_local=pick(v_local_cand),
+        flat_n=pick(flat_n_cand),
+        flat_pt=pick(flat_pt_cand),
+        wall_half=jnp.maximum(pick(wall_half_cand), 1e-3),
+        nb_onehot=pick(nb_oh_cand),
+        nb_half=jnp.maximum(pick(nb_half_cand), 1e-3),
+        nb_is_ramp=pick(nb_is_ramp_cand) > 0.5,
+        mu=pick(mu_cand),
+        valid=sel_valid,
+    )
+
+
+def _refresh_contacts(cfg, man: Manifold, pos, quat):
+    """Recompute world contact point, depth and normal for each manifold
+    slot at the current pose. Returns (p, n, depth, nb data...)."""
+    # Contact vertex in world.
+    p = pos[:, None, :] + math3d.quat_rotate(quat[:, None, :], man.v_local)
+
+    # Neighbor state via one-hot (zeros for non-pair kinds).
+    nb_pos = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, pos)
+    nb_quat_raw = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, quat)
+    is_pair = man.kind == KIND_PAIR
+    nb_quat = jnp.where(is_pair[..., None], nb_quat_raw,
+                        jnp.array([1.0, 0.0, 0.0, 0.0]))
+    nb_pos = jnp.where(is_pair[..., None], nb_pos, 1e6)
+
+    # Plane depth/normal.
+    d_plane = jnp.sum((p - man.flat_pt) * man.flat_n, axis=-1)
+    # Wall depth/normal.
+    sdf_w, n_w = aabb_sdf_normal(p - man.flat_pt, man.wall_half)
+    # Pair depth/normal.
+    p_l = math3d.quat_rotate_inv(nb_quat, p - nb_pos)
+    sdf_p, n_l = convex_sdf_local(p_l, man.nb_half, man.nb_is_ramp)
+    n_p = math3d.quat_rotate(nb_quat, n_l)
+
+    is_plane = man.kind == KIND_PLANE
+    is_wall = man.kind == KIND_WALL
+    depth = jnp.where(is_plane, -d_plane,
+                      jnp.where(is_wall, -sdf_w, -sdf_p))
+    n = jnp.where(is_plane[..., None], man.flat_n,
+                  jnp.where(is_wall[..., None], n_w, n_p))
+    mask = man.valid & (man.kind > 0) & (depth > 0.0)
+    return p, n, depth, mask, nb_pos, nb_quat
+
+
+def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
+                   p, n, depth, mask, nb_pos, nb_quat):
+    """Jacobi position pass over the [B, C] manifold.
+
+    The static kinds are the dynamic math with zero b-side inverse mass.
+    Returns (dpos [B,3], drot [B,3], cnt [B], lam [B,C]).
     """
-    r_a = p - pos_a[:, None, None, :]
-    rxn = jnp.cross(r_a, n)
-    q_b = quat_a[:, None, None, :]
-    ii = inv_I_a[:, None, None, :]
-    w_ang = jnp.sum(rxn * _apply_inv_inertia(q_b, ii, rxn), axis=-1)
-    w_sum = w_lin_a[:, None, None] + w_ang
+    is_pair = man.kind == KIND_PAIR
+    nb_w = jnp.einsum("bcB,B->bc", man.nb_onehot, w_lin) * is_pair
+    nb_ii = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, inv_I) * \
+        is_pair[..., None]
 
-    lam = jnp.where(mask & (w_sum > 1e-9),
-                    depth / jnp.maximum(w_sum, 1e-9), 0.0)
-    imp = lam[..., None] * n
-
-    dpos = jnp.sum(imp, axis=(1, 2)) * w_lin_a[:, None]
-    ang = _apply_inv_inertia(q_b, ii, jnp.cross(r_a, imp))
-    drot = jnp.sum(ang, axis=(1, 2))
-    cnt = jnp.sum(mask, axis=(1, 2)).astype(pos_a.dtype)
-    return _GroupSolveOut(dpos, drot, cnt, lam)
-
-
-def _solve_pair_group(pos, quat, w_lin, inv_I, p, n, depth, mask):
-    """Dense dynamic-dynamic contacts: vertex v of body a against body b.
-
-    p, n, depth, mask: [A, V, B(, 3)] where axis 0 indexes the vertex owner
-    (side a) and axis 2 the SDF owner (side b). n pushes a along +n.
-    Accumulations are reductions: a-side over (V, B), b-side over (A, V).
-    """
-    r_a = p - pos[:, None, None, :]
-    r_b = p - pos[None, None, :, :]
-    q_a = quat[:, None, None, :]
-    q_b = quat[None, None, :, :]
-    ii_a = inv_I[:, None, None, :]
-    ii_b = inv_I[None, None, :, :]
+    r_a = p - pos[:, None, :]
+    r_b = p - nb_pos
+    q_a = quat[:, None, :]
+    ii_a = inv_I[:, None, :]
 
     rxn_a = jnp.cross(r_a, n)
     rxn_b = jnp.cross(r_b, n)
     w_ang_a = jnp.sum(rxn_a * _apply_inv_inertia(q_a, ii_a, rxn_a), axis=-1)
-    w_ang_b = jnp.sum(rxn_b * _apply_inv_inertia(q_b, ii_b, rxn_b), axis=-1)
-    w_a = w_lin[:, None, None] + w_ang_a
-    w_b = w_lin[None, None, :] + w_ang_b
-    w_sum = w_a + w_b
+    w_ang_b = jnp.sum(rxn_b * _apply_inv_inertia(nb_quat, nb_ii, rxn_b),
+                      axis=-1)
+    w_sum = w_lin[:, None] + w_ang_a + nb_w + w_ang_b
 
     lam = jnp.where(mask & (w_sum > 1e-9),
                     depth / jnp.maximum(w_sum, 1e-9), 0.0)
-    imp = lam[..., None] * n
+    imp = lam[..., None] * n   # pushes a along +n
 
-    dpos = (jnp.sum(imp, axis=(1, 2)) * w_lin[:, None]
-            - jnp.sum(imp, axis=(0, 1)) * w_lin[:, None])
-    ang_a = _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp))
-    ang_b = _apply_inv_inertia(q_b, ii_b, jnp.cross(r_b, -imp))
-    drot = jnp.sum(ang_a, axis=(1, 2)) + jnp.sum(ang_b, axis=(0, 1))
-    cnt = (jnp.sum(mask, axis=(1, 2)) + jnp.sum(mask, axis=(0, 1))
-           ).astype(pos.dtype)
-    return _GroupSolveOut(dpos, drot, cnt, lam)
+    dpos_a = jnp.sum(imp, axis=1) * w_lin[:, None]
+    drot_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
+                     axis=1)
+    imp_b = -imp * nb_w[..., None]
+    ang_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -imp))
+    dpos = dpos_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, imp_b)
+    drot = drot_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, ang_b)
 
-
-def _friction_static_group(pos_a, quat_a, vel, omega, w_lin_a, inv_I_a,
-                           p, n, mask, mu, lam, h):
-    """Velocity-pass dynamic friction for static-side contact groups.
-
-    Returns (dvel [B,3], domega [B,3], cnt [B]) accumulations.
-    """
-    r_a = p - pos_a[:, None, None, :]
-    v_c = vel[:, None, None, :] + jnp.cross(omega[:, None, None, :], r_a)
-    v_n = jnp.sum(v_c * n, axis=-1, keepdims=True) * n
-    v_t = v_c - v_n
-    v_t_len = jnp.linalg.norm(v_t, axis=-1)
-    t_dir = v_t / jnp.maximum(v_t_len, 1e-9)[..., None]
-
-    q_b = quat_a[:, None, None, :]
-    ii = inv_I_a[:, None, None, :]
-    rxt = jnp.cross(r_a, t_dir)
-    w_sum = w_lin_a[:, None, None] + jnp.sum(
-        rxt * _apply_inv_inertia(q_b, ii, rxt), axis=-1)
-    w_sum = jnp.maximum(w_sum, 1e-9)
-
-    active = mask & (lam > 0.0)
-    j = jnp.minimum(v_t_len / w_sum, mu * lam / h)
-    j = jnp.where(active, j, 0.0)
-    imp = -j[..., None] * t_dir
-
-    dvel = jnp.sum(imp, axis=(1, 2)) * w_lin_a[:, None]
-    dom = jnp.sum(_apply_inv_inertia(q_b, ii, jnp.cross(r_a, imp)),
-                  axis=(1, 2))
-    cnt = jnp.sum(active, axis=(1, 2)).astype(pos_a.dtype)
-    return dvel, dom, cnt
+    m_f = mask.astype(pos.dtype)
+    cnt = jnp.sum(m_f, axis=1) + jnp.einsum("bcB,bc->B", man.nb_onehot, m_f)
+    return dpos, drot, cnt, lam
 
 
-def _friction_pair_group(pos, quat, vel, omega, w_lin, inv_I,
-                         p, n, mask, mu, lam, h):
-    r_a = p - pos[:, None, None, :]
-    r_b = p - pos[None, None, :, :]
-    v_a = vel[:, None, None, :] + jnp.cross(omega[:, None, None, :], r_a)
-    v_b = vel[None, None, :, :] + jnp.cross(omega[None, None, :, :], r_b)
+def _contact_friction(man: Manifold, pos, quat, vel, omega, w_lin, inv_I,
+                      p, n, mask, nb_pos, nb_quat, lam, h):
+    """XPBD velocity-pass dynamic friction over the [B, C] manifold."""
+    is_pair = man.kind == KIND_PAIR
+    nb_w = jnp.einsum("bcB,B->bc", man.nb_onehot, w_lin) * is_pair
+    nb_ii = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, inv_I) * \
+        is_pair[..., None]
+    nb_vel = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, vel)
+    nb_om = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, omega)
+
+    r_a = p - pos[:, None, :]
+    r_b = p - nb_pos
+    v_a = vel[:, None, :] + jnp.cross(omega[:, None, :], r_a)
+    v_b = nb_vel + jnp.cross(nb_om, r_b)
     v_rel = v_a - v_b
     v_n = jnp.sum(v_rel * n, axis=-1, keepdims=True) * n
     v_t = v_rel - v_n
     v_t_len = jnp.linalg.norm(v_t, axis=-1)
     t_dir = v_t / jnp.maximum(v_t_len, 1e-9)[..., None]
 
-    q_a = quat[:, None, None, :]
-    q_b = quat[None, None, :, :]
-    ii_a = inv_I[:, None, None, :]
-    ii_b = inv_I[None, None, :, :]
+    q_a = quat[:, None, :]
+    ii_a = inv_I[:, None, :]
     rxt_a = jnp.cross(r_a, t_dir)
     rxt_b = jnp.cross(r_b, t_dir)
-    w_sum = (w_lin[:, None, None] + w_lin[None, None, :] +
+    w_sum = (w_lin[:, None] + nb_w +
              jnp.sum(rxt_a * _apply_inv_inertia(q_a, ii_a, rxt_a), axis=-1) +
-             jnp.sum(rxt_b * _apply_inv_inertia(q_b, ii_b, rxt_b), axis=-1))
+             jnp.sum(rxt_b * _apply_inv_inertia(nb_quat, nb_ii, rxt_b),
+                     axis=-1))
     w_sum = jnp.maximum(w_sum, 1e-9)
 
     active = mask & (lam > 0.0)
-    j = jnp.minimum(v_t_len / w_sum, mu * lam / h)
+    j = jnp.minimum(v_t_len / w_sum, man.mu * lam / h)
     j = jnp.where(active, j, 0.0)
     imp = -j[..., None] * t_dir
 
-    dvel = (jnp.sum(imp, axis=(1, 2)) * w_lin[:, None]
-            - jnp.sum(imp, axis=(0, 1)) * w_lin[:, None])
-    dom = (jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
-                   axis=(1, 2)) +
-           jnp.sum(_apply_inv_inertia(q_b, ii_b, jnp.cross(r_b, -imp)),
-                   axis=(0, 1)))
-    cnt = (jnp.sum(active, axis=(1, 2)) + jnp.sum(active, axis=(0, 1))
-           ).astype(pos.dtype)
+    dvel_a = jnp.sum(imp, axis=1) * w_lin[:, None]
+    dom_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
+                    axis=1)
+    imp_b = -imp * nb_w[..., None]
+    ang_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -imp))
+    dvel = dvel_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, imp_b)
+    dom = dom_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, ang_b)
+
+    a_f = active.astype(pos.dtype)
+    cnt = jnp.sum(a_f, axis=1) + jnp.einsum("bcB,bc->B", man.nb_onehot, a_f)
     return dvel, dom, cnt
-
-
-def _apply_rot(quat, drot):
-    """Apply rotation vectors to quaternions (small-angle update)."""
-    dq = 0.5 * jnp.concatenate(
-        [jnp.zeros_like(drot[..., :1]), drot], axis=-1)
-    return math3d.quat_normalize(quat + math3d.quat_mul(dq, quat))
 
 
 def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
@@ -276,7 +500,6 @@ def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
 
     x_a = pos[agent_lo:agent_hi]
     q_a = quat[agent_lo:agent_hi]
-    # Gather target state densely via the one-hot (B is tiny).
     x_t = onehot @ pos
     q_t_raw = onehot @ quat
     q_t = jnp.where(has[:, None], q_t_raw, math3d.quat_identity((n_agents,)))
@@ -309,8 +532,8 @@ def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
                     0.0)
     imp = lam[:, None] * n  # +imp on agent, -imp on target
 
-    dpos_a = imp * w_a[:, None]                       # [A, 3]
-    dpos_t = -imp * w_t[:, None]                      # [A, 3]
+    dpos_a = imp * w_a[:, None]
+    dpos_t = -imp * w_t[:, None]
     drot_a = _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp))
     drot_t = _apply_inv_inertia(q_t, ii_t, jnp.cross(r_t, -imp))
 
@@ -333,10 +556,8 @@ def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
     drot_t = drot_t + _apply_inv_inertia(
         q_t, ii_t, theta_world) * scale[:, None]
 
-    # Route target contributions back to body slots with the one-hot.
     dpos = jnp.einsum("ab,ak->bk", onehot, dpos_t)
     drot = jnp.einsum("ab,ak->bk", onehot, drot_t)
-    # Agent contributions occupy a static slice.
     dpos = dpos.at[agent_lo:agent_hi].add(dpos_a)
     drot = drot.at[agent_lo:agent_hi].add(drot_a)
     return dpos, drot
@@ -348,27 +569,16 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
     """Run cfg.num_physics_substeps XPBD substeps (reference task graph:
     src/sim.cpp:1162-1168)."""
     h = cfg.dt / cfg.num_physics_substeps
-    n_body = cfg.num_dyn_bodies
-    _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
-    slot = jnp.arange(n_body)
-    is_ramp = (slot >= ramp_lo) & (slot < ramp_hi)
 
     dynamic = bodies.active & ~bodies.locked
     eff_inv_m = jnp.where(dynamic, bodies.inv_mass, 0.0)
     eff_inv_I = jnp.where(dynamic[:, None], bodies.inv_inertia, 0.0)
     verts_local = body_vertices_local(cfg, bodies.half_ext)
 
-    active = bodies.active
-    mu_body = bodies.friction_mu
-    n_wall = statics.wall_pos.shape[0]
-    n_plane = statics.plane_point.shape[0]
-
-    # Pair friction/masks that don't change within the step.
-    pair_valid = (active[:, None, None] & active[None, None, :] &
-                  (slot[:, None, None] != slot[None, None, :]))
-    pair_mu = jnp.maximum(mu_body[:, None, None], mu_body[None, None, :])
-    wall_mu = jnp.maximum(mu_body, 2.0)[:, None, None]  # wall muD = 2
-    plane_mu = jnp.maximum(mu_body, 2.0)[:, None, None]  # plane muD = 2
+    # Manifold built once per step at the predicted end-of-step pose.
+    pos_pred = bodies.pos + cfg.dt * bodies.vel * dynamic[:, None]
+    man = build_manifold(cfg, bodies, statics, pos_pred, bodies.quat,
+                         verts_local)
 
     def substep(carry, _):
         pos, quat, vel, omega = carry
@@ -383,60 +593,15 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         pos_i = pos + h * vel_i
         quat_i = math3d.quat_integrate(quat, omega_i, h)
 
-        # --- contact generation (dense structured groups) --------------
-        verts_w = pos_i[:, None, :] + math3d.quat_rotate(
-            quat_i[:, None, :], verts_local)          # [B, 8, 3]
-
-        # Planes: [B, 8, P]
-        rel_p = verts_w[:, :, None, :] - statics.plane_point[None, None]
-        d_plane = jnp.einsum("bvpk,pk->bvp", rel_p, statics.plane_normal)
-        plane_depth = -d_plane
-        plane_mask = (plane_depth > 0.0) & active[:, None, None] & \
-            statics.plane_active[None, None, :]
-        plane_n = jnp.broadcast_to(
-            statics.plane_normal[None, None], (n_body, 8, n_plane, 3))
-        plane_p = jnp.broadcast_to(
-            verts_w[:, :, None, :], (n_body, 8, n_plane, 3))
-
-        # Walls (AABBs): [B, 8, W]
-        rel_w = verts_w[:, :, None, :] - statics.wall_pos[None, None]
-        qw = jnp.abs(rel_w) - statics.wall_half_ext[None, None]
-        wall_sdf = jnp.max(qw, axis=-1)
-        kw = jnp.argmax(qw, axis=-1)
-        wall_n = jnp.sign(jnp.take_along_axis(rel_w, kw[..., None], -1)) * \
-            jax.nn.one_hot(kw, 3, dtype=rel_w.dtype)
-        wall_depth = -wall_sdf
-        wall_mask = (wall_depth > 0.0) & active[:, None, None] & \
-            statics.wall_active[None, None, :]
-        wall_p = jnp.broadcast_to(
-            verts_w[:, :, None, :], (n_body, 8, n_wall, 3))
-
-        # Dynamic pairs: vertex of a in b's frame: [A, 8, B]
-        rel_d = verts_w[:, :, None, :] - pos_i[None, None, :, :]
-        p_local = math3d.quat_rotate_inv(quat_i[None, None, :, :], rel_d)
-        pair_sdf, n_local = convex_sdf_local(
-            p_local, bodies.half_ext[None, None], is_ramp[None, None, :])
-        pair_n = math3d.quat_rotate(quat_i[None, None, :, :], n_local)
-        pair_depth = -pair_sdf
-        pair_mask = (pair_depth > 0.0) & pair_valid
-        pair_p = jnp.broadcast_to(
-            verts_w[:, :, None, :], (n_body, 8, n_body, 3))
-
-        # --- position solve (Jacobi, count-normalized) -----------------
-        o_pl = _solve_static_group(pos_i, quat_i, eff_inv_m, eff_inv_I,
-                                   plane_p, plane_n, plane_depth, plane_mask)
-        o_wl = _solve_static_group(pos_i, quat_i, eff_inv_m, eff_inv_I,
-                                   wall_p, wall_n, wall_depth, wall_mask)
-        o_pr = _solve_pair_group(pos_i, quat_i, eff_inv_m, eff_inv_I,
-                                 pair_p, pair_n, pair_depth, pair_mask)
-
-        cnt = o_pl.cnt + o_wl.cnt + o_pr.cnt
+        # --- refresh + solve the persistent manifold -------------------
+        p, n, depth, mask, nb_pos, nb_quat = _refresh_contacts(
+            cfg, man, pos_i, quat_i)
+        dpos, drot, cnt, lam = _contact_solve(
+            man, pos_i, quat_i, eff_inv_m, eff_inv_I, p, n, depth, mask,
+            nb_pos, nb_quat)
         norm = 1.0 / jnp.maximum(cnt, 1.0)
-        dpos = (o_pl.dpos + o_wl.dpos + o_pr.dpos) * norm[:, None]
-        drot = (o_pl.drot + o_wl.drot + o_pr.drot) * norm[:, None]
-
-        pos_c = pos_i + dpos
-        quat_c = _apply_rot(quat_i, drot)
+        pos_c = pos_i + dpos * norm[:, None]
+        quat_c = _apply_rot(quat_i, drot * norm[:, None])
 
         dpos_j, drot_j = solve_grab_joints(
             cfg, pos_c, quat_c, eff_inv_m, eff_inv_I, grab)
@@ -449,20 +614,12 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         omega_n = 2.0 / h * dq[:, 1:] * jnp.sign(dq[:, :1])
 
         # --- velocity pass: dynamic friction --------------------------
-        f_pl = _friction_static_group(
-            pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
-            plane_p, plane_n, plane_mask, plane_mu, o_pl.lam, h)
-        f_wl = _friction_static_group(
-            pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
-            wall_p, wall_n, wall_mask, wall_mu, o_wl.lam, h)
-        f_pr = _friction_pair_group(
-            pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
-            pair_p, pair_n, pair_mask, pair_mu, o_pr.lam, h)
-
-        fcnt = f_pl[2] + f_wl[2] + f_pr[2]
+        dvel, dom, fcnt = _contact_friction(
+            man, pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
+            p, n, mask, nb_pos, nb_quat, lam, h)
         fnorm = 1.0 / jnp.maximum(fcnt, 1.0)
-        vel_n = vel_n + (f_pl[0] + f_wl[0] + f_pr[0]) * fnorm[:, None]
-        omega_n = omega_n + (f_pl[1] + f_wl[1] + f_pr[1]) * fnorm[:, None]
+        vel_n = vel_n + dvel * fnorm[:, None]
+        omega_n = omega_n + dom * fnorm[:, None]
 
         # Frozen bodies keep zero velocity.
         vel_n = jnp.where(dynamic[:, None], vel_n, 0.0)

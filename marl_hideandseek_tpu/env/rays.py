@@ -155,8 +155,9 @@ def raycast_world(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         ids = jnp.arange(t_all.shape[-1])
         t_all = jnp.where(ids[None, :] == exclude_id[:, None], _INF, t_all)
 
+    # min + argmin reductions (gather-free: take_along_axis is slow on TPU).
+    t_hit = jnp.min(t_all, axis=-1)
     hit_prim = jnp.argmin(t_all, axis=-1)
-    t_hit = jnp.take_along_axis(t_all, hit_prim[:, None], axis=-1)[:, 0]
     hit_id = jnp.where(jnp.isfinite(t_hit), hit_prim, -1).astype(jnp.int32)
     return t_hit, hit_id
 

@@ -101,14 +101,19 @@ def main():
     rnn = policy.actor_critic.init_recurrent_state(n_agents)
     key = jax.random.PRNGKey(7)
 
-    record_f = open(args.record_log, "wb") if args.record_log else None
+    record_f = None
     wins = np.zeros(2)
     for i in range(args.num_steps):
         key, sub = jax.random.split(key)
         env_state, obs, rnn, result, ckpt_blob = eval_step(
             env_state, obs, rnn, sub)
-        if record_f is not None:
-            np.asarray(ckpt_blob).tofile(record_f)
+        if args.record_log is not None:
+            if record_f is None:
+                from marl_hideandseek_tpu.utils.ckptlog import CkptLogWriter
+                blob_np = np.asarray(ckpt_blob)
+                record_f = CkptLogWriter(
+                    args.record_log, blob_np.shape[0], blob_np.shape[1])
+            record_f.append(np.asarray(ckpt_blob))
         finished = np.asarray(result.episode_results)
         dones = np.asarray(result.dones)[:, 0, 0]
         if dones.any():
