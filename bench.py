@@ -23,8 +23,8 @@ from marl_hideandseek_tpu.env import HideAndSeekEnv
 NORTH_STAR = 10_000_000.0
 
 NUM_WORLDS = int(os.environ.get("BENCH_WORLDS", 16384))
-NUM_STEPS = int(os.environ.get("BENCH_STEPS", 480))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 60))
+NUM_STEPS = int(os.environ.get("BENCH_STEPS", 240))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 40))
 
 
 def main():

@@ -99,9 +99,11 @@ def _movement_forces(cfg: EnvConfig, state: EnvState, actions):
     return ext_force, ext_torque
 
 
-def _action_system(cfg: EnvConfig, state: EnvState, actions) -> EnvState:
-    """Grab/lock interaction rays (reference: actionSystem
-    src/sim.cpp:270-370)."""
+def _action_system(cfg: EnvConfig, state: EnvState, actions,
+                   hit_t, hit_id) -> EnvState:
+    """Grab/lock interaction logic (reference: actionSystem
+    src/sim.cpp:270-370). The interaction rays themselves are traced at
+    batch level (observations.action_ray_queries + raycast_batch)."""
     (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
         body_slot_ranges(cfg)
     n_a = cfg.max_agents
@@ -118,11 +120,6 @@ def _action_system(cfg: EnvConfig, state: EnvState, actions) -> EnvState:
 
     want_lock = (actions[:, 4] == 1) & can_act
     want_grab = (actions[:, 3] == 1) & can_act
-
-    self_slot = agent_lo + jnp.arange(n_a)
-    hit_t, hit_id = rays.raycast_world(
-        cfg, bodies, state.statics, eye, fwd,
-        jnp.full((n_a,), INTERACT_RAY_LEN), exclude_id=self_slot)
 
     # Only boxes/ramps are lockable/grabbable (agents are Unownable,
     # walls/planes are static Unownable entities).
@@ -351,9 +348,33 @@ class HideAndSeekEnv:
         if base_key is None:
             base_key = jax.random.PRNGKey(cfg.rand_seed)
 
+        actions = actions.astype(jnp.int32)
+
+        # 1. Interaction rays (grab/lock) at batch level, then the vmapped
+        #    movement + action + physics phase.
+        act_q = jax.vmap(
+            functools.partial(observations.action_ray_queries, cfg))(state)
+        act_t, act_id = self._raycast(state, *act_q)
+        state, ext_force, ext_torque = jax.vmap(
+            functools.partial(self._pre_physics, cfg)
+        )(state, actions, act_t, act_id)
+
+        # Physics at batch level (Pallas substep kernel on TPU).
+        from marl_hideandseek_tpu.ops import pallas_physics
+        bodies = pallas_physics.physics_step_batch(
+            cfg, state.bodies, state.statics, state.grab, ext_force,
+            ext_torque)
+        state = state.replace(bodies=bodies)
+        if cfg.zero_agent_velocity:
+            state = jax.vmap(
+                functools.partial(_zero_agent_velocities, cfg))(state)
+
+        # 2. Seeker->hider reward rays on the post-physics state.
+        rew_q = jax.vmap(
+            functools.partial(observations.reward_ray_queries, cfg))(state)
+        _, rew_id = self._raycast(state, *rew_q)
         state, team_r, rewards, dones = jax.vmap(
-            functools.partial(self._physics_phase, cfg)
-        )(state, actions.astype(jnp.int32))
+            functools.partial(self._reward_phase, cfg))(state, rew_id)
 
         # Conditional reset + regeneration, gated at batch level so the
         # level generator only runs on steps where some world resets.
@@ -382,22 +403,27 @@ class HideAndSeekEnv:
         result = self._collect(state, rewards, dones)
         return state, result
 
-    @staticmethod
-    def _physics_phase(cfg: EnvConfig, state: EnvState, actions):
-        """Single-world: movement -> actions -> physics -> rewards."""
-        ext_force, ext_torque = _movement_forces(cfg, state, actions)
-        state = _action_system(cfg, state, actions)
-        bodies = physics.physics_step(
-            cfg, state.bodies, state.statics, state.grab, ext_force,
-            ext_torque)
-        state = state.replace(bodies=bodies)
-        if cfg.zero_agent_velocity:
-            state = _zero_agent_velocities(cfg, state)
+    def _raycast(self, state, origins, dirs, maxt, excl):
+        """Batched raycast: Pallas kernel on TPU, vmapped jnp elsewhere."""
+        from marl_hideandseek_tpu.ops import pallas_rays
 
-        seen = observations.seeker_sees_hider(cfg, state)
+        return pallas_rays.raycast_batch(
+            self.cfg, state, origins, dirs, maxt, excl)
+
+    @staticmethod
+    def _pre_physics(cfg: EnvConfig, state: EnvState, actions, act_t,
+                     act_id):
+        """Single-world: movement forces + grab/lock application."""
+        ext_force, ext_torque = _movement_forces(cfg, state, actions)
+        state = _action_system(cfg, state, actions, act_t, act_id)
+        return state, ext_force, ext_torque
+
+    @staticmethod
+    def _reward_phase(cfg: EnvConfig, state: EnvState, rew_hit_id):
+        """Single-world: reward flag -> rewards/dones -> episode results."""
+        seen = observations.seeker_sees_hider(cfg, state, rew_hit_id)
         team_r = jnp.where(seen, -1.0, 1.0)
         state = state.replace(hider_team_reward=team_r)
-
         rewards, dones = _rewards_dones(cfg, state, team_r)
         state = _episode_results(cfg, state, team_r)
         return state, team_r, rewards, dones
@@ -405,8 +431,12 @@ class HideAndSeekEnv:
     def _collect(self, state: EnvState, rewards=None, dones=None
                  ) -> StepResult:
         cfg = self.cfg
+        obs_q = jax.vmap(
+            functools.partial(observations.obs_ray_queries, cfg))(state)
+        obs_t, obs_id = self._raycast(state, *obs_q)
         obs = jax.vmap(
-            functools.partial(observations.build_observations, cfg))(state)
+            functools.partial(observations.build_observations, cfg)
+        )(state, obs_id, obs_t)
         if rewards is None:
             rewards = jnp.zeros((cfg.num_worlds, cfg.max_agents, 1))
         if dones is None:

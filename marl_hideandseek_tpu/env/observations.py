@@ -6,7 +6,11 @@ computeVisibilitySystem src/sim.cpp:567-710, lidarSystem src/sim.cpp:712-759,
 tensor shapes src/mgr.cpp:1097-1204 and the named train interface
 src/mgr.cpp:1338-1364).
 
-Row conventions preserved exactly:
+Structure (TPU-shaped): ray *queries* are built per world (vmapped), the
+actual raycasts run once per step at batch level through
+ops.pallas_rays.raycast_batch (Pallas kernel on TPU), and the *assembly*
+functions here consume the hit results. Row conventions preserved exactly:
+
   * agent_data/vis_agents_mask always have MAX_AGENTS-1 = 5 rows; for each
     agent the rows are the other agent slots in slot order with inactive
     slots zero-padded.
@@ -14,8 +18,6 @@ Row conventions preserved exactly:
     2 rows.
   * All relative poses/velocities are expressed in the observing agent's
     frame with velocity deltas.
-
-Single-world functions; `env.py` vmaps them.
 """
 
 from __future__ import annotations
@@ -32,7 +34,6 @@ from marl_hideandseek_tpu.config import (
     NUM_LIDAR_SAMPLES,
     VIS_FOV_DEGREES,
 )
-from marl_hideandseek_tpu.env import rays
 from marl_hideandseek_tpu.types import (
     AGENT_HIDER,
     AGENT_SEEKER,
@@ -45,17 +46,147 @@ _COS_HALF_FOV = float(np.cos(np.deg2rad(VIS_FOV_DEGREES / 2.0)))
 
 
 def _others_index_matrix(n_agents: int) -> np.ndarray:
-    """[A, MAX_AGENTS-1] static gather matrix of 'other' agent slots.
-
-    Row i lists slots j != i over the full MAX_AGENTS range (clipped to the
-    configured agent count; out-of-range slots are masked to zero by
-    callers), matching the reference's fixed 5-row relative-agent arrays.
-    """
+    """[A, MAX_AGENTS-1] static gather matrix of 'other' agent slots."""
     rows = []
     for i in range(n_agents):
         row = [j for j in range(MAX_AGENTS) if j != i]
         rows.append(row[: MAX_AGENTS - 1])
     return np.asarray(rows, np.int32)
+
+
+def num_vis_targets(cfg: EnvConfig) -> int:
+    return (MAX_AGENTS - 1) + cfg.max_boxes + cfg.max_ramps
+
+
+def num_obs_rays(cfg: EnvConfig) -> int:
+    """Rays per world for the obs sweep: visibility + lidar."""
+    return cfg.max_agents * (num_vis_targets(cfg) + NUM_LIDAR_SAMPLES)
+
+
+def _vis_targets(cfg: EnvConfig, state: EnvState):
+    """Per-agent visibility target slots + validity, [A, T]."""
+    n_a = cfg.max_agents
+    (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
+        body_slot_ranges(cfg)
+    others = jnp.asarray(_others_index_matrix(n_a))
+    o_in_range = others < n_a
+    o_safe = jnp.minimum(others, n_a - 1)
+    o_active = state.agent_active[o_safe] & o_in_range
+
+    box_observed = jnp.arange(cfg.max_boxes) < state.num_active_boxes
+    ramp_observed = jnp.arange(cfg.max_ramps) < state.num_active_ramps
+
+    tgt_slots = jnp.concatenate([
+        agent_lo + o_safe,
+        jnp.broadcast_to(jnp.arange(box_lo, box_hi)[None],
+                         (n_a, cfg.max_boxes)),
+        jnp.broadcast_to(jnp.arange(ramp_lo, ramp_hi)[None],
+                         (n_a, cfg.max_ramps)),
+    ], axis=1)
+    tgt_valid = jnp.concatenate([
+        o_active,
+        jnp.broadcast_to(box_observed[None], (n_a, cfg.max_boxes)),
+        jnp.broadcast_to(ramp_observed[None], (n_a, cfg.max_ramps)),
+    ], axis=1)
+    return tgt_slots, tgt_valid
+
+
+def obs_ray_queries(cfg: EnvConfig, state: EnvState):
+    """Single-world ray set for the obs sweep.
+
+    Returns (origins [R, 3], dirs [R, 3], max_t [R], exclude [R]) with
+    R = A * (16 visibility targets + 30 lidar rays). Visibility dirs are
+    unnormalized (t parameterizes the fraction of the distance, range 1 —
+    reference: src/sim.cpp:598-604); lidar dirs are unit (range 200).
+    """
+    n_a = cfg.max_agents
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    bodies = state.bodies
+    a_pos = bodies.pos[agent_lo:agent_hi]
+    a_quat = bodies.quat[agent_lo:agent_hi]
+    a_fwd = math3d.quat_rotate(a_quat, math3d.FWD)
+    a_right = math3d.quat_rotate(a_quat, math3d.RIGHT)
+
+    tgt_slots, _ = _vis_targets(cfg, state)
+    n_tgt = tgt_slots.shape[1]
+    to_tgt = bodies.pos[tgt_slots] - a_pos[:, None]          # [A, T, 3]
+
+    vis_origins = jnp.broadcast_to(a_pos[:, None], (n_a, n_tgt, 3))
+    vis_maxt = jnp.ones((n_a, n_tgt))
+
+    idx = jnp.arange(NUM_LIDAR_SAMPLES, dtype=jnp.float32)
+    theta = 2.0 * jnp.pi * idx / NUM_LIDAR_SAMPLES + jnp.pi / 2.0
+    lidar_dirs = (jnp.cos(theta)[None, :, None] * a_right[:, None] +
+                  jnp.sin(theta)[None, :, None] * a_fwd[:, None])
+    lidar_dirs = lidar_dirs / jnp.maximum(
+        jnp.linalg.norm(lidar_dirs, axis=-1, keepdims=True), 1e-9)
+    lidar_origins = jnp.broadcast_to(
+        a_pos[:, None], (n_a, NUM_LIDAR_SAMPLES, 3))
+    lidar_maxt = jnp.full((n_a, NUM_LIDAR_SAMPLES), LIDAR_MAX_RANGE)
+
+    self_slot = agent_lo + jnp.arange(n_a)
+    excl = jnp.broadcast_to(
+        self_slot[:, None], (n_a, n_tgt + NUM_LIDAR_SAMPLES))
+
+    origins = jnp.concatenate([vis_origins, lidar_origins], axis=1)
+    dirs = jnp.concatenate([to_tgt, lidar_dirs], axis=1)
+    maxt = jnp.concatenate([vis_maxt, lidar_maxt], axis=1)
+    return (origins.reshape(-1, 3), dirs.reshape(-1, 3),
+            maxt.reshape(-1), excl.reshape(-1))
+
+
+def reward_ray_queries(cfg: EnvConfig, state: EnvState):
+    """[A, A] agent->agent rays for the seeker-sees-hider reward check
+    (reference: rewardsVisSystem src/sim.cpp:763-804)."""
+    n_a = cfg.max_agents
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    a_pos = state.bodies.pos[agent_lo:agent_hi]
+    to = a_pos[None, :, :] - a_pos[:, None, :]               # [A, A, 3]
+    origins = jnp.broadcast_to(a_pos[:, None], (n_a, n_a, 3))
+    maxt = jnp.ones((n_a, n_a))
+    excl = jnp.broadcast_to(
+        (agent_lo + jnp.arange(n_a))[:, None], (n_a, n_a))
+    return (origins.reshape(-1, 3), to.reshape(-1, 3), maxt.reshape(-1),
+            excl.reshape(-1))
+
+
+def action_ray_queries(cfg: EnvConfig, state: EnvState):
+    """[A] grab/lock interaction rays (reference: src/sim.cpp:285-331)."""
+    from marl_hideandseek_tpu.config import INTERACT_RAY_LEN
+
+    n_a = cfg.max_agents
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    a_pos = state.bodies.pos[agent_lo:agent_hi]
+    a_quat = state.bodies.quat[agent_lo:agent_hi]
+    eye = a_pos + 0.5 * math3d.UP
+    fwd = math3d.quat_rotate(a_quat, math3d.FWD)
+    maxt = jnp.full((n_a,), INTERACT_RAY_LEN)
+    excl = agent_lo + jnp.arange(n_a)
+    return eye, fwd, maxt, excl
+
+
+def seeker_sees_hider(cfg: EnvConfig, state: EnvState,
+                      reward_hit_id: jnp.ndarray) -> jnp.ndarray:
+    """Scalar bool from the [A*A] reward ray results."""
+    n_a = cfg.max_agents
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    a_pos = state.bodies.pos[agent_lo:agent_hi]
+    a_quat = state.bodies.quat[agent_lo:agent_hi]
+    a_fwd = math3d.quat_rotate(a_quat, math3d.FWD)
+    is_seeker = state.agent_active & (state.agent_type == AGENT_SEEKER)
+    is_hider = state.agent_active & (state.agent_type == AGENT_HIDER)
+
+    to_h = a_pos[None, :, :] - a_pos[:, None, :]
+    dist = jnp.linalg.norm(to_h, axis=-1)
+    cos_angle = jnp.sum(
+        to_h * a_fwd[:, None], axis=-1) / jnp.maximum(dist, 1e-9)
+    in_cone = cos_angle >= _COS_HALF_FOV
+
+    tgt_slot = agent_lo + jnp.arange(n_a)
+    hits_target = reward_hit_id.reshape(n_a, n_a) == tgt_slot[None, :]
+    pair_seen = (hits_target & in_cone &
+                 is_seeker[:, None] & is_hider[None, :])
+    return jnp.any(pair_seen)
 
 
 def _rel_pos_vel_obs(origin, to_frame, origin_vel, origin_omega,
@@ -75,13 +206,10 @@ def _lock_obs(locked, owner):
     return jnp.stack([hider_locked, seeker_locked], axis=-1)
 
 
-def build_observations(cfg: EnvConfig, state: EnvState):
-    """All observation tensors for one world.
-
-    Returns a dict of the 11 named tensors (reference: src/mgr.cpp:1352-1364)
-    plus 'seed' (reference exports it as a per-agent tensor,
-    src/mgr.cpp:1198-1206).
-    """
+def build_observations(cfg: EnvConfig, state: EnvState,
+                       obs_hit_id: jnp.ndarray, obs_hit_t: jnp.ndarray):
+    """All observation tensors for one world, given the obs-sweep ray
+    results ([R] arrays from obs_ray_queries order)."""
     n_a = cfg.max_agents
     (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
         body_slot_ranges(cfg)
@@ -94,7 +222,6 @@ def build_observations(cfg: EnvConfig, state: EnvState):
     a_active = state.agent_active               # [A] bool
     to_frame = math3d.quat_inv(a_quat)          # [A, 4]
     a_fwd = math3d.quat_rotate(a_quat, math3d.FWD)
-    a_right = math3d.quat_rotate(a_quat, math3d.RIGHT)
     is_grabbing = (state.grab.target >= 0).astype(jnp.float32)  # [A]
 
     act_f = a_active[:, None].astype(jnp.float32)
@@ -127,7 +254,7 @@ def build_observations(cfg: EnvConfig, state: EnvState):
     box_posvel = _rel_pos_vel_obs(
         a_pos[:, None], to_frame[:, None], a_vel[:, None], a_omega[:, None],
         b_pos[None], b_quat[None], b_vel[None], b_omega[None])  # [A, 9, 12]
-    box_size = 2.0 * bodies.half_ext[box_lo:box_hi]  # {8,1.5,2} or {2,2,2}
+    box_size = 2.0 * bodies.half_ext[box_lo:box_hi]
     box_lock = _lock_obs(bodies.locked[box_lo:box_hi],
                          bodies.owner[box_lo:box_hi])
     box_data = jnp.concatenate([
@@ -171,39 +298,20 @@ def build_observations(cfg: EnvConfig, state: EnvState):
         axis=-1)
     agent_data = agent_data * o_active[..., None] * act_f[:, :, None]
 
-    # ---- visibility masks (cone + occlusion raycast;
-    # reference: src/sim.cpp:586-605) --------------------------------------
-    # Targets per agent: 5 other agents, 9 boxes, 2 ramps -> 16 rays.
-    other_body = agent_lo + o_safe                              # [A, 5]
-    box_slots = jnp.arange(box_lo, box_hi)
-    ramp_slots = jnp.arange(ramp_lo, ramp_hi)
-    tgt_slots = jnp.concatenate([
-        other_body,
-        jnp.broadcast_to(box_slots[None], (n_a, cfg.max_boxes)),
-        jnp.broadcast_to(ramp_slots[None], (n_a, cfg.max_ramps)),
-    ], axis=1)                                                  # [A, T]
-    tgt_valid = jnp.concatenate([
-        o_active,
-        jnp.broadcast_to(box_observed[None], (n_a, cfg.max_boxes)),
-        jnp.broadcast_to(ramp_observed[None], (n_a, cfg.max_ramps)),
-    ], axis=1)
+    # ---- visibility masks from the ray results ---------------------------
+    tgt_slots, tgt_valid = _vis_targets(cfg, state)
     n_tgt = tgt_slots.shape[1]
-
-    to_tgt = bodies.pos[tgt_slots] - a_pos[:, None]             # [A, T, 3]
+    to_tgt = bodies.pos[tgt_slots] - a_pos[:, None]
     dist = jnp.linalg.norm(to_tgt, axis=-1)
     cos_angle = jnp.sum(
         to_tgt * a_fwd[:, None], axis=-1) / jnp.maximum(dist, 1e-9)
     in_cone = cos_angle >= _COS_HALF_FOV
 
-    origins = jnp.broadcast_to(a_pos[:, None], (n_a, n_tgt, 3)).reshape(-1, 3)
-    dirs = to_tgt.reshape(-1, 3)
-    self_slot = jnp.broadcast_to(
-        (agent_lo + jnp.arange(n_a))[:, None], (n_a, n_tgt)).reshape(-1)
-    _, hit_id = rays.raycast_world(
-        cfg, bodies, state.statics, origins, dirs,
-        jnp.ones((n_a * n_tgt,)), exclude_id=self_slot)
-    seen = (hit_id.reshape(n_a, n_tgt) == tgt_slots) & in_cone & tgt_valid
-    seen = seen & a_active[:, None]
+    n_rays_per_agent = n_tgt + NUM_LIDAR_SAMPLES
+    hit_id = obs_hit_id.reshape(n_a, n_rays_per_agent)
+    hit_t = obs_hit_t.reshape(n_a, n_rays_per_agent)
+    vis_hit = hit_id[:, :n_tgt]
+    seen = (vis_hit == tgt_slots) & in_cone & tgt_valid & a_active[:, None]
     seen_f = seen.astype(jnp.float32)
 
     vis_agents = seen_f[:, : MAX_AGENTS - 1, None]
@@ -211,23 +319,10 @@ def build_observations(cfg: EnvConfig, state: EnvState):
                        None]
     vis_ramps = seen_f[:, MAX_AGENTS - 1 + cfg.max_boxes:, None]
 
-    # ---- lidar [A, 30] (reference: src/sim.cpp:712-759) ------------------
-    idx = jnp.arange(NUM_LIDAR_SAMPLES, dtype=jnp.float32)
-    theta = 2.0 * jnp.pi * idx / NUM_LIDAR_SAMPLES + jnp.pi / 2.0
-    lidar_dirs = (jnp.cos(theta)[None, :, None] * a_right[:, None] +
-                  jnp.sin(theta)[None, :, None] * a_fwd[:, None])
-    lidar_dirs = lidar_dirs / jnp.maximum(
-        jnp.linalg.norm(lidar_dirs, axis=-1, keepdims=True), 1e-9)
-    l_origins = jnp.broadcast_to(
-        a_pos[:, None], (n_a, NUM_LIDAR_SAMPLES, 3)).reshape(-1, 3)
-    l_self = jnp.broadcast_to(
-        (agent_lo + jnp.arange(n_a))[:, None],
-        (n_a, NUM_LIDAR_SAMPLES)).reshape(-1)
-    l_t, l_hit = rays.raycast_world(
-        cfg, bodies, state.statics, l_origins, lidar_dirs.reshape(-1, 3),
-        jnp.full((n_a * NUM_LIDAR_SAMPLES,), LIDAR_MAX_RANGE),
-        exclude_id=l_self)
-    lidar = jnp.where(l_hit >= 0, l_t, 0.0).reshape(n_a, NUM_LIDAR_SAMPLES)
+    # ---- lidar [A, 30] ---------------------------------------------------
+    lidar_hit = hit_id[:, n_tgt:]
+    lidar_t = hit_t[:, n_tgt:]
+    lidar = jnp.where(lidar_hit >= 0, lidar_t, 0.0)
     lidar = lidar * act_f
 
     return {
@@ -245,47 +340,9 @@ def build_observations(cfg: EnvConfig, state: EnvState):
     }
 
 
-def seeker_sees_hider(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
-    """Scalar bool: any seeker currently sees any hider (cone + occlusion),
-    the reward-flag computation (reference: rewardsVisSystem
-    src/sim.cpp:763-804)."""
-    n_a = cfg.max_agents
-    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
-    bodies = state.bodies
-
-    a_pos = bodies.pos[agent_lo:agent_hi]
-    a_quat = bodies.quat[agent_lo:agent_hi]
-    a_fwd = math3d.quat_rotate(a_quat, math3d.FWD)
-    is_seeker = state.agent_active & (state.agent_type == AGENT_SEEKER)
-    is_hider = state.agent_active & (state.agent_type == AGENT_HIDER)
-
-    # [S, H] pairs over all agent slots.
-    to_h = a_pos[None, :, :] - a_pos[:, None, :]
-    dist = jnp.linalg.norm(to_h, axis=-1)
-    cos_angle = jnp.sum(
-        to_h * a_fwd[:, None], axis=-1) / jnp.maximum(dist, 1e-9)
-    in_cone = cos_angle >= _COS_HALF_FOV
-
-    origins = jnp.broadcast_to(a_pos[:, None], (n_a, n_a, 3)).reshape(-1, 3)
-    dirs = to_h.reshape(-1, 3)
-    self_slot = jnp.broadcast_to(
-        (agent_lo + jnp.arange(n_a))[:, None], (n_a, n_a)).reshape(-1)
-    _, hit_id = rays.raycast_world(
-        cfg, bodies, state.statics, origins, dirs,
-        jnp.ones((n_a * n_a,)), exclude_id=self_slot)
-    tgt_slot = agent_lo + jnp.arange(n_a)
-    hits_target = hit_id.reshape(n_a, n_a) == tgt_slot[None, :]
-
-    pair_seen = (hits_target & in_cone &
-                 is_seeker[:, None] & is_hider[None, :])
-    return jnp.any(pair_seen)
-
-
 def global_debug_positions(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
     """[maxBoxes+maxRamps+maxAgents, 2] xy positions
-    (reference: globalPositionsDebugSystem src/sim.cpp:895-941; agents are
-    ordered hiders-then-seekers there, we emit slot order which matches the
-    first-team-then-second layout of level generation)."""
+    (reference: globalPositionsDebugSystem src/sim.cpp:895-941)."""
     (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
         body_slot_ranges(cfg)
     b = state.bodies
@@ -295,7 +352,6 @@ def global_debug_positions(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:
         jnp.arange(cfg.max_ramps) < state.num_active_ramps)[:, None]
     agent_xy = b.pos[agent_lo:agent_hi, :2] * \
         state.agent_active[:, None]
-    pad_boxes = cfg.max_boxes - (box_hi - box_lo)
     out = jnp.concatenate([box_xy, ramp_xy, agent_xy], axis=0)
     pad = (cfg.max_boxes + cfg.max_ramps + MAX_AGENTS) - out.shape[0]
     if pad > 0:

@@ -178,11 +178,18 @@ class Manifold(NamedTuple):
     flat_n: jnp.ndarray      # [B, C, 3] plane normal (plane kind)
     flat_pt: jnp.ndarray     # [B, C, 3] plane point / wall centre
     wall_half: jnp.ndarray   # [B, C, 3] wall half extents (wall kind)
-    nb_onehot: jnp.ndarray   # [B, C, B] neighbor body one-hot (pair kind)
+    nb_idx: jnp.ndarray      # [B, C] i32 neighbor body slot (pair kind; -1)
     nb_half: jnp.ndarray     # [B, C, 3] neighbor half extents
     nb_is_ramp: jnp.ndarray  # [B, C] neighbor shape flag
     mu: jnp.ndarray          # [B, C] pair friction coefficient
     valid: jnp.ndarray       # [B, C]
+
+    @property
+    def nb_onehot(self):
+        """[B, C, B] routing one-hot, derived from nb_idx on demand."""
+        n_body = self.kind.shape[0]
+        return (self.nb_idx[:, :, None] ==
+                jnp.arange(n_body)[None, None, :]).astype(jnp.float32)
 
 
 def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
@@ -316,11 +323,13 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
                          (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
         jnp.ones((n_body, 8 * K_PAIR, 3)),
     ], axis=1)
-    nb_oh_cand = jnp.concatenate([
-        jnp.zeros((n_body, 8 * (n_plane + K_WALL), n_body)),
-        jnp.broadcast_to(nb_oh[:, None],
-                         (n_body, 8, K_PAIR, n_body)).reshape(
-                             n_body, -1, n_body),
+    # Neighbor index per candidate, compact (avoids materializing a
+    # [B, n_cand, B] one-hot; the small indices survive the f32 pick).
+    nb_idx_f = jnp.where(nb_valid, nb_idx.astype(jnp.float32), -1.0)
+    nb_idx_cand = jnp.concatenate([
+        jnp.full((n_body, 8 * (n_plane + K_WALL)), -1.0),
+        jnp.broadcast_to(nb_idx_f[:, None],
+                         (n_body, 8, K_PAIR)).reshape(n_body, -1),
     ], axis=1)
     nb_half_cand = jnp.concatenate([
         jnp.ones((n_body, 8 * (n_plane + K_WALL), 3)),
@@ -343,13 +352,16 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
                          (n_body, 8, K_PAIR)).reshape(n_body, -1),
     ], axis=1)
 
+    picked_nb_raw = pick(jnp.where(nb_idx_cand < 0, 0.0, nb_idx_cand + 1.0))
+    picked_nb = (picked_nb_raw + 0.5).astype(jnp.int32) - 1  # -1 = none
+
     return Manifold(
         kind=kind,
         v_local=pick(v_local_cand),
         flat_n=pick(flat_n_cand),
         flat_pt=pick(flat_pt_cand),
         wall_half=jnp.maximum(pick(wall_half_cand), 1e-3),
-        nb_onehot=pick(nb_oh_cand),
+        nb_idx=picked_nb,
         nb_half=jnp.maximum(pick(nb_half_cand), 1e-3),
         nb_is_ramp=pick(nb_is_ramp_cand) > 0.5,
         mu=pick(mu_cand),

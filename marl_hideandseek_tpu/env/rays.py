@@ -35,7 +35,9 @@ _INF = jnp.inf
 # Wedge (ramp) halfspaces in the collision-OBJ body frame
 # (data/ramp_collision.obj: x in [-1,1], profile triangle
 # (y,z) = (1,1), (1,-1), (-2,-1)).
-_S13 = float(jnp.sqrt(13.0))
+import math
+
+_S13 = math.sqrt(13.0)
 WEDGE_NORMALS = jnp.array([
     [1.0, 0.0, 0.0],
     [-1.0, 0.0, 0.0],

@@ -18,7 +18,10 @@ from marl_hideandseek_tpu.models.layers import (
     LayerNorm,
 )
 from marl_hideandseek_tpu.models.rnn import LSTM
-from marl_hideandseek_tpu.models.normalizer import ObservationsEMANormalizer
+from marl_hideandseek_tpu.models.normalizer import (
+    ObservationsCaster,
+    ObservationsEMANormalizer,
+)
 from marl_hideandseek_tpu.models.actor_critic import (
     ActorCritic,
     BackboneEncoder,
@@ -31,7 +34,8 @@ from marl_hideandseek_tpu.models.actor_critic import (
 __all__ = [
     "LayerNorm", "MLP", "EntitySelfAttentionNet", "DenseLayerDiscreteActor",
     "DenseLayerCritic", "DreamerV3Critic", "DiscreteActionDistributions",
-    "LSTM", "ObservationsEMANormalizer", "ActorCritic", "BackboneEncoder",
+    "LSTM", "ObservationsEMANormalizer", "ObservationsCaster",
+    "ActorCritic", "BackboneEncoder",
     "RecurrentBackboneEncoder", "BackboneShared", "BackboneSeparate",
     "Policy",
 ]

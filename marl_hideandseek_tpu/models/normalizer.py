@@ -92,3 +92,40 @@ class ObservationsEMANormalizer:
 
     def prep_and_normalize(self, state, obs):
         return self.normalize(state, self.prep(obs))
+
+
+@dataclasses.dataclass(frozen=True)
+class ObservationsCaster:
+    """Cast-only observation preprocessor (no statistics), the
+    madrona_learn.ObservationsCaster capability — a drop-in alternative to
+    the EMA normalizer when raw obs scales are acceptable."""
+
+    dtype: jnp.dtype = jnp.float32
+    prep_fns: Mapping[str, Callable] = dataclasses.field(
+        default_factory=dict)
+
+    @staticmethod
+    def create(dtype, prep_fns=None):
+        return ObservationsCaster(dtype=dtype, prep_fns=dict(prep_fns or {}))
+
+    def prep(self, obs):
+        out = {}
+        for k, v in obs.items():
+            if k in self.prep_fns:
+                out[k] = self.prep_fns[k](v)
+            else:
+                out[k] = v.astype(self.dtype)
+        return out
+
+    def init_state(self, obs):
+        return NormalizerState(mean={}, var={},
+                               count=jnp.zeros((), jnp.float32))
+
+    def update_state(self, state, obs):
+        return state.replace(count=state.count + 1.0)
+
+    def normalize(self, state, obs):
+        return obs
+
+    def prep_and_normalize(self, state, obs):
+        return self.prep(obs)

@@ -1,0 +1,590 @@
+"""Pallas TPU kernel for the XPBD substep loop.
+
+The physics substeps are the #1 hotspot: the XLA version pays HBM round
+trips for every [B, C] contact intermediate. This kernel runs the whole
+4-substep loop per world-block entirely in VMEM: worlds ride the 128-wide
+lane dimension, bodies/contacts ride sublanes, vectors are kept in
+component form (x/y/z as separate [.., 128] arrays — no tiny trailing dims
+to pad), and all cross-body routing is an unrolled compare-select loop over
+the 17 body slots (no gathers/scatters).
+
+Scope: integration + persistent-manifold contact refresh/solve + grab
+joints + velocity reconstruction + velocity-pass friction — exactly
+`env/physics.py::physics_step` minus the once-per-step manifold build,
+which stays in XLA (top_k does not map to the VPU). The jnp implementation
+remains the reference semantics and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from marl_hideandseek_tpu.config import EnvConfig
+from marl_hideandseek_tpu.env import physics as jphys
+from marl_hideandseek_tpu.types import body_slot_ranges
+
+LANE = 128
+
+_S13 = math.sqrt(13.0)
+_WEDGE_FACES = (
+    ((1.0, 0.0, 0.0), 1.0),
+    ((-1.0, 0.0, 0.0), 1.0),
+    ((0.0, 1.0, 0.0), 1.0),
+    ((0.0, 0.0, -1.0), 1.0),
+    ((0.0, -2.0 / _S13, 3.0 / _S13), 1.0 / _S13),
+)
+
+_GX, _GY, _GZ = 0.0, 0.0, -9.8
+
+
+# ---- component-form vector/quaternion helpers -----------------------------
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _qrot(q, v, inv=False):
+    """Rotate v by q (or by conj(q) when inv)."""
+    w = q[0]
+    u = (q[1], q[2], q[3])
+    c = _cross(u, v)
+    d = _cross(u, c)
+    s = -2.0 if inv else 2.0
+    return (v[0] + s * w * c[0] + 2.0 * d[0],
+            v[1] + s * w * c[1] + 2.0 * d[1],
+            v[2] + s * w * c[2] + 2.0 * d[2])
+
+
+def _qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw)
+
+
+def _qconj(q):
+    return (q[0], -q[1], -q[2], -q[3])
+
+
+def _qnorm(q):
+    inv = jax.lax.rsqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] +
+                        q[3] * q[3] + 1e-12)
+    return (q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv)
+
+
+def _apply_invI(q, invI, v):
+    """R diag(invI) R^T v; invI = (ix, iy, iz)."""
+    b = _qrot(q, v, inv=True)
+    b = (b[0] * invI[0], b[1] * invI[1], b[2] * invI[2])
+    return _qrot(q, b)
+
+
+def _box_sdf_normal(rel, half):
+    """Componentwise box SDF + outward normal."""
+    qx = jnp.abs(rel[0]) - half[0]
+    qy = jnp.abs(rel[1]) - half[1]
+    qz = jnp.abs(rel[2]) - half[2]
+    sdf = jnp.maximum(jnp.maximum(qx, qy), qz)
+    is_x = (qx >= qy) & (qx >= qz)
+    is_y = (~is_x) & (qy >= qz)
+    is_z = ~(is_x | is_y)
+    n = (jnp.sign(rel[0]) * is_x,
+         jnp.sign(rel[1]) * is_y,
+         jnp.sign(rel[2]) * is_z)
+    return sdf, n
+
+
+def _wedge_sdf_normal(p):
+    """Max-halfspace SDF + blended face normal for the ramp wedge."""
+    ds = []
+    for (nx, ny, nz), off in _WEDGE_FACES:
+        ds.append(nx * p[0] + ny * p[1] + nz * p[2] - off)
+    sdf = ds[0]
+    for d in ds[1:]:
+        sdf = jnp.maximum(sdf, d)
+    nx = jnp.zeros_like(sdf)
+    ny = jnp.zeros_like(sdf)
+    nz = jnp.zeros_like(sdf)
+    for i, ((fx, fy, fz), off) in enumerate(_WEDGE_FACES):
+        sel = ds[i] >= sdf
+        nx = nx + fx * sel
+        ny = ny + fy * sel
+        nz = nz + fz * sel
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-12)
+    return sdf, (nx * inv, ny * inv, nz * inv)
+
+
+def _make_kernel(cfg: EnvConfig):
+    n_body = cfg.num_dyn_bodies
+    n_c = jphys.N_CONTACTS
+    _, (ramp_lo, ramp_hi), (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    n_agents = agent_hi - agent_lo
+    h = cfg.dt / cfg.num_physics_substeps
+    n_sub = cfg.num_physics_substeps
+
+    def kernel(pos_ref, quat_ref, vel_ref, om_ref,
+               invm_ref, invI_ref, dyn_ref, f_ref, tq_ref,
+               kind_ref, vloc_ref, fn_ref, fpt_ref, wh_ref,
+               nbi_ref, nbh_ref, nbr_ref, mu_ref, valid_ref,
+               gt_ref, gr2_ref, gq_ref, gsep_ref,
+               pos_out, quat_out, vel_out, om_out):
+        # ---- invariants -------------------------------------------------
+        inv_m = invm_ref[:]                           # [B, L]
+        invI = (invI_ref[:, 0], invI_ref[:, 1], invI_ref[:, 2])
+        dyn = dyn_ref[:] > 0.5                        # [B, L]
+        ext_f = (f_ref[:, 0], f_ref[:, 1], f_ref[:, 2])
+        ext_t = (tq_ref[:, 0], tq_ref[:, 1], tq_ref[:, 2])
+
+        kind = kind_ref[:]                            # [B, C, L] f32
+        is_plane = kind == float(jphys.KIND_PLANE)
+        is_wall = kind == float(jphys.KIND_WALL)
+        is_pair = kind == float(jphys.KIND_PAIR)
+        vloc = (vloc_ref[:, :, 0], vloc_ref[:, :, 1], vloc_ref[:, :, 2])
+        fn = (fn_ref[:, :, 0], fn_ref[:, :, 1], fn_ref[:, :, 2])
+        fpt = (fpt_ref[:, :, 0], fpt_ref[:, :, 1], fpt_ref[:, :, 2])
+        whalf = (wh_ref[:, :, 0], wh_ref[:, :, 1], wh_ref[:, :, 2])
+        nb_idx = nbi_ref[:]                           # [B, C, L] f32
+        nb_half = (nbh_ref[:, :, 0], nbh_ref[:, :, 1], nbh_ref[:, :, 2])
+        nb_ramp = nbr_ref[:] > 0.5
+        mu = mu_ref[:]
+        valid = valid_ref[:] > 0.5
+
+        # Neighbor inverse mass/inertia (static within the step).
+        def route(field_rows):
+            """[B, L] rows -> per-contact [B, C, L] via nb_idx compare."""
+            acc = jnp.zeros((n_body, n_c, LANE))
+            for j in range(n_body):
+                acc = jnp.where(nb_idx == float(j),
+                                field_rows[j][None, None, :], acc)
+            return acc
+
+        nb_w = route(inv_m) * is_pair
+        nb_invI = tuple(route(c) * is_pair for c in invI)
+
+        g_t = gt_ref[:]                               # [A, L] f32 idx
+        g_has = g_t >= 0.0
+        g_r2 = (gr2_ref[:, 0], gr2_ref[:, 1], gr2_ref[:, 2])
+        g_q = (gq_ref[:, 0], gq_ref[:, 1], gq_ref[:, 2], gq_ref[:, 3])
+        g_sep = gsep_ref[:]
+
+        def g_route(field_rows):
+            """[B, L] rows -> per-agent [A, L] via grab target compare."""
+            acc = jnp.zeros((n_agents, LANE))
+            for j in range(n_body):
+                acc = jnp.where(g_t == float(j),
+                                field_rows[j][None, :], acc)
+            return acc
+
+        gt_w = jnp.where(g_has, g_route(inv_m), 0.0)
+        gt_invI = tuple(jnp.where(g_has, g_route(c), 0.0) for c in invI)
+
+        def substep(_, carry):
+            (px, py, pz, qw, qx, qy, qz, vx, vy, vz, ox, oy, oz) = carry
+            pos = (px, py, pz)
+            quat = (qw, qx, qy, qz)
+
+            # ---- integrate ---------------------------------------------
+            has_m = inv_m > 0.0
+            vx1 = vx + h * (_GX * has_m + ext_f[0] * inv_m)
+            vy1 = vy + h * (_GY * has_m + ext_f[1] * inv_m)
+            vz1 = vz + h * (_GZ * has_m + ext_f[2] * inv_m)
+            aa = _apply_invI(quat, invI, ext_t)
+            ox1, oy1, oz1 = ox + h * aa[0], oy + h * aa[1], oz + h * aa[2]
+
+            px1, py1, pz1 = px + h * vx1, py + h * vy1, pz + h * vz1
+            # quat integration: q += 0.5 h (omega quat) * q
+            dq = _qmul((jnp.zeros_like(ox1), ox1, oy1, oz1),
+                       (qw, qx, qy, qz))
+            q1 = _qnorm((qw + 0.5 * h * dq[0], qx + 0.5 * h * dq[1],
+                         qy + 0.5 * h * dq[2], qz + 0.5 * h * dq[3]))
+
+            pos_i = (px1, py1, pz1)
+            quat_i = q1
+            qa = tuple(c[:, None, :] for c in quat_i)   # [B, 1, L]
+            pa = tuple(c[:, None, :] for c in pos_i)
+
+            # ---- refresh contacts --------------------------------------
+            p = _add(pa, _qrot(qa, vloc))               # [B, C, L]
+
+            nb_pos = tuple(route(c) for c in pos_i)
+            nb_quat_r = tuple(route(c) for c in quat_i)
+            nb_quat = (jnp.where(is_pair, nb_quat_r[0], 1.0),
+                       jnp.where(is_pair, nb_quat_r[1], 0.0),
+                       jnp.where(is_pair, nb_quat_r[2], 0.0),
+                       jnp.where(is_pair, nb_quat_r[3], 0.0))
+            nb_pos = tuple(jnp.where(is_pair, c, 1e6) for c in nb_pos)
+
+            d_plane = _dot(_sub(p, fpt), fn)
+            sdf_w, n_w = _box_sdf_normal(_sub(p, fpt), whalf)
+            p_l = _qrot(nb_quat, _sub(p, nb_pos), inv=True)
+            sdf_box, n_box = _box_sdf_normal(p_l, nb_half)
+            sdf_wed, n_wed = _wedge_sdf_normal(p_l)
+            sdf_p = jnp.where(nb_ramp, sdf_wed, sdf_box)
+            n_l = tuple(jnp.where(nb_ramp, a, b)
+                        for a, b in zip(n_wed, n_box))
+            n_p = _qrot(nb_quat, n_l)
+
+            depth = jnp.where(is_plane, -d_plane,
+                              jnp.where(is_wall, -sdf_w, -sdf_p))
+            n = tuple(
+                jnp.where(is_plane, a, jnp.where(is_wall, b, c))
+                for a, b, c in zip(fn, n_w, n_p))
+            mask = valid & (kind > 0.5) & (depth > 0.0)
+
+            # ---- position solve ----------------------------------------
+            r_a = _sub(p, pa)
+            r_b = _sub(p, nb_pos)
+            rxn_a = _cross(r_a, n)
+            rxn_b = _cross(r_b, n)
+            iIa = tuple(c[:, None, :] for c in invI)
+            w_ang_a = _dot(rxn_a, _apply_invI(qa, iIa, rxn_a))
+            w_ang_b = _dot(rxn_b, _apply_invI(nb_quat, nb_invI, rxn_b))
+            w_sum = inv_m[:, None, :] + w_ang_a + nb_w + w_ang_b
+            lam = jnp.where(mask & (w_sum > 1e-9),
+                            depth / jnp.maximum(w_sum, 1e-9), 0.0)
+            imp = _scale(n, lam)
+
+            m_f = mask.astype(jnp.float32)
+            cnt_a = jnp.sum(m_f, axis=1)               # [B, L]
+            dpos_a = tuple(jnp.sum(c, axis=1) * inv_m for c in imp)
+            ang_a_c = _apply_invI(qa, iIa, _cross(r_a, imp))
+            drot_a = tuple(jnp.sum(c, axis=1) for c in ang_a_c)
+
+            # b-side: per-contact impulses routed back by nb_idx.
+            imp_b = _scale(imp, -nb_w)                 # [B, C, L]
+            ang_b_c = _apply_invI(nb_quat, nb_invI,
+                                  _cross(r_b, _scale(imp, -1.0)))
+
+            def scatter(vals, weights=None):
+                """Sum per-contact [B, C, L] into [B, L] rows by nb_idx."""
+                rows = []
+                for j in range(n_body):
+                    sel = (nb_idx == float(j)).astype(jnp.float32)
+                    rows.append(jnp.sum(vals * sel, axis=(0, 1)))
+                return jnp.stack(rows, axis=0)
+
+            dpos = tuple(a + scatter(b) for a, b in zip(dpos_a, imp_b))
+            drot = tuple(a + scatter(b) for a, b in zip(drot_a, ang_b_c))
+            cnt = cnt_a + scatter(m_f)
+
+            norm = 1.0 / jnp.maximum(cnt, 1.0)
+            pos_c = (px1 + dpos[0] * norm, py1 + dpos[1] * norm,
+                     pz1 + dpos[2] * norm)
+            rv = (drot[0] * norm, drot[1] * norm, drot[2] * norm)
+            dq2 = _qmul((jnp.zeros_like(rv[0]),) + rv, quat_i)
+            quat_c = _qnorm((quat_i[0] + 0.5 * dq2[0],
+                             quat_i[1] + 0.5 * dq2[1],
+                             quat_i[2] + 0.5 * dq2[2],
+                             quat_i[3] + 0.5 * dq2[3]))
+
+            # ---- grab joints -------------------------------------------
+            def agent_rows(full):
+                return full[agent_lo:agent_hi]
+
+            ga_pos = tuple(agent_rows(c) for c in pos_c)
+            ga_q = tuple(agent_rows(c) for c in quat_c)
+            gt_pos_r = tuple(g_route(c) for c in pos_c)
+            gt_q_r = tuple(g_route(c) for c in quat_c)
+            gt_q = (jnp.where(g_has, gt_q_r[0], 1.0),
+                    jnp.where(g_has, gt_q_r[1], 0.0),
+                    jnp.where(g_has, gt_q_r[2], 0.0),
+                    jnp.where(g_has, gt_q_r[3], 0.0))
+            gt_pos = tuple(jnp.where(g_has, c, 0.0) for c in gt_pos_r)
+
+            r1 = (jnp.zeros_like(g_sep), 1.25 + g_sep,
+                  jnp.full_like(g_sep, 0.5))
+            p_a = _add(ga_pos, _qrot(ga_q, r1))
+            p_t = _add(gt_pos, _qrot(gt_q, g_r2))
+            delta = _sub(p_t, p_a)
+            c_len = jnp.sqrt(_dot(delta, delta) + 1e-18)
+            nrm = _scale(delta, 1.0 / jnp.maximum(c_len, 1e-9))
+
+            ra = _sub(p_a, ga_pos)
+            rt = _sub(p_t, gt_pos)
+            a_invm = agent_rows(inv_m)
+            a_invI = tuple(agent_rows(c) for c in invI)
+            rxn1 = _cross(ra, nrm)
+            rxn2 = _cross(rt, nrm)
+            gw_a = a_invm + _dot(rxn1, _apply_invI(ga_q, a_invI, rxn1))
+            gw_t = gt_w + _dot(rxn2, _apply_invI(gt_q, gt_invI, rxn2))
+            gw = gw_a + gw_t
+            g_lam = jnp.where(g_has & (gw > 1e-9),
+                              c_len / jnp.maximum(gw, 1e-9), 0.0)
+            g_imp = _scale(nrm, g_lam)
+
+            gdp_a = _scale(g_imp, a_invm)
+            gdp_t = _scale(g_imp, -gt_w)
+            gdr_a = _apply_invI(ga_q, a_invI, _cross(ra, g_imp))
+            gdr_t = _apply_invI(gt_q, gt_invI,
+                                _cross(rt, _scale(g_imp, -1.0)))
+
+            # Angular part: drive rel rotation to stored g_q.
+            rel_now = _qmul(_qconj(gt_q), ga_q)
+            err = _qmul(rel_now, _qconj(g_q))
+            sgn = jnp.sign(err[0])
+            th_l = (2.0 * err[1] * sgn, 2.0 * err[2] * sgn,
+                    2.0 * err[3] * sgn)
+            th = _qrot(gt_q, th_l)
+            aw_a = _dot(_apply_invI(ga_q, a_invI, th), th)
+            aw_t = _dot(_apply_invI(gt_q, gt_invI, th), th)
+            tn2 = _dot(th, th)
+            dn = aw_a + aw_t
+            sc = jnp.where(g_has & (dn > 1e-9) & (tn2 > 1e-12),
+                           tn2 / jnp.maximum(dn, 1e-9), 0.0)
+            gdr_a = _sub(gdr_a, _scale(_apply_invI(ga_q, a_invI, th), sc))
+            gdr_t = _add(gdr_t, _scale(_apply_invI(gt_q, gt_invI, th), sc))
+
+            def g_scatter(vals):
+                """[A, L] per-agent target contributions -> [B, L] rows."""
+                rows = []
+                for j in range(n_body):
+                    sel = (g_t == float(j)).astype(jnp.float32)
+                    rows.append(jnp.sum(vals * sel, axis=0))
+                return jnp.stack(rows, axis=0)
+
+            def add_agent_rows(full, agent_vals):
+                parts = []
+                if agent_lo > 0:
+                    parts.append(jnp.zeros((agent_lo, LANE)))
+                parts.append(agent_vals)
+                if n_body - agent_hi > 0:
+                    parts.append(jnp.zeros((n_body - agent_hi, LANE)))
+                return full + jnp.concatenate(parts, axis=0)
+
+            pos_c = tuple(
+                add_agent_rows(c + g_scatter(t), a)
+                for c, t, a in zip(pos_c, gdp_t, gdp_a))
+            rvj = tuple(g_scatter(t) for t in gdr_t)
+            rvj = tuple(
+                add_agent_rows(r, a) for r, a in zip(rvj, gdr_a))
+            dq3 = _qmul((jnp.zeros_like(rvj[0]),) + rvj, quat_c)
+            quat_c = _qnorm((quat_c[0] + 0.5 * dq3[0],
+                             quat_c[1] + 0.5 * dq3[1],
+                             quat_c[2] + 0.5 * dq3[2],
+                             quat_c[3] + 0.5 * dq3[3]))
+
+            # ---- velocities from positions -----------------------------
+            vx2 = (pos_c[0] - px) / h
+            vy2 = (pos_c[1] - py) / h
+            vz2 = (pos_c[2] - pz) / h
+            dq4 = _qmul(quat_c, _qconj((qw, qx, qy, qz)))
+            s4 = jnp.sign(dq4[0])
+            ox2 = 2.0 / h * dq4[1] * s4
+            oy2 = 2.0 / h * dq4[2] * s4
+            oz2 = 2.0 / h * dq4[3] * s4
+
+            # ---- velocity-pass friction --------------------------------
+            vel2 = (vx2, vy2, vz2)
+            om2 = (ox2, oy2, oz2)
+            qa_c = tuple(c[:, None, :] for c in quat_c)
+            pa_c = tuple(c[:, None, :] for c in pos_c)
+            vel_b = tuple(c[:, None, :] for c in vel2)
+            om_b = tuple(c[:, None, :] for c in om2)
+
+            nb_vel = tuple(route(c) for c in vel2)
+            nb_om = tuple(route(c) for c in om2)
+
+            r_a2 = _sub(p, pa_c)
+            r_b2 = _sub(p, nb_pos)
+            v_a = _add(vel_b, _cross(om_b, r_a2))
+            v_b = _add(nb_vel, _cross(nb_om, r_b2))
+            v_rel = _sub(v_a, v_b)
+            vn = _dot(v_rel, n)
+            v_t = _sub(v_rel, _scale(n, vn))
+            vt_len = jnp.sqrt(_dot(v_t, v_t) + 1e-18)
+            t_dir = _scale(v_t, 1.0 / jnp.maximum(vt_len, 1e-9))
+
+            rxt_a = _cross(r_a2, t_dir)
+            rxt_b = _cross(r_b2, t_dir)
+            fw = (inv_m[:, None, :] + nb_w +
+                  _dot(rxt_a, _apply_invI(qa_c, iIa, rxt_a)) +
+                  _dot(rxt_b, _apply_invI(nb_quat, nb_invI, rxt_b)))
+            fw = jnp.maximum(fw, 1e-9)
+            f_active = mask & (lam > 0.0)
+            jimp = jnp.minimum(vt_len / fw, mu * lam / h)
+            jimp = jnp.where(f_active, jimp, 0.0)
+            fimp = _scale(t_dir, -jimp)
+
+            fa = f_active.astype(jnp.float32)
+            fcnt_a = jnp.sum(fa, axis=1)
+            dvel_a = tuple(jnp.sum(c, axis=1) * inv_m for c in fimp)
+            fang_a = _apply_invI(qa_c, iIa, _cross(r_a2, fimp))
+            dom_a = tuple(jnp.sum(c, axis=1) for c in fang_a)
+            fimp_b = _scale(fimp, -nb_w)
+            fang_b = _apply_invI(nb_quat, nb_invI,
+                                 _cross(r_b2, _scale(fimp, -1.0)))
+            dvel = tuple(a + scatter(b) for a, b in zip(dvel_a, fimp_b))
+            dom = tuple(a + scatter(b) for a, b in zip(dom_a, fang_b))
+            fcnt = fcnt_a + scatter(fa)
+            fnorm = 1.0 / jnp.maximum(fcnt, 1.0)
+
+            vx3 = vx2 + dvel[0] * fnorm
+            vy3 = vy2 + dvel[1] * fnorm
+            vz3 = vz2 + dvel[2] * fnorm
+            ox3 = ox2 + dom[0] * fnorm
+            oy3 = oy2 + dom[1] * fnorm
+            oz3 = oz2 + dom[2] * fnorm
+
+            # ---- freeze static/locked bodies ---------------------------
+            out_p = tuple(jnp.where(dyn, c, o)
+                          for c, o in zip(pos_c, (px, py, pz)))
+            out_q = tuple(jnp.where(dyn, c, o)
+                          for c, o in zip(quat_c, (qw, qx, qy, qz)))
+            out_v = tuple(jnp.where(dyn, c, 0.0) for c in (vx3, vy3, vz3))
+            out_o = tuple(jnp.where(dyn, c, 0.0) for c in (ox3, oy3, oz3))
+            return out_p + out_q + out_v + out_o
+
+        carry = (pos_ref[:, 0], pos_ref[:, 1], pos_ref[:, 2],
+                 quat_ref[:, 0], quat_ref[:, 1], quat_ref[:, 2],
+                 quat_ref[:, 3],
+                 vel_ref[:, 0], vel_ref[:, 1], vel_ref[:, 2],
+                 om_ref[:, 0], om_ref[:, 1], om_ref[:, 2])
+        carry = jax.lax.fori_loop(0, n_sub, substep, carry)
+
+        pos_out[:] = jnp.stack(carry[0:3], axis=1)
+        quat_out[:] = jnp.stack(carry[3:7], axis=1)
+        vel_out[:] = jnp.stack(carry[7:10], axis=1)
+        om_out[:] = jnp.stack(carry[10:13], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _physics_pallas(cfg: EnvConfig, *args):
+    n_body = cfg.num_dyn_bodies
+    n_c = jphys.N_CONTACTS
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    n_agents = agent_hi - agent_lo
+    n_worlds = args[0].shape[-1]
+    assert n_worlds % LANE == 0
+
+    def wspec(*prefix):
+        rank = len(prefix)
+        return pl.BlockSpec(prefix + (LANE,),
+                            lambda i, _r=rank: (0,) * _r + (i,),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        wspec(n_body, 3),   # pos
+        wspec(n_body, 4),   # quat
+        wspec(n_body, 3),   # vel
+        wspec(n_body, 3),   # omega
+        wspec(n_body),      # inv_m
+        wspec(n_body, 3),   # invI
+        wspec(n_body),      # dynamic
+        wspec(n_body, 3),   # ext force
+        wspec(n_body, 3),   # ext torque
+        wspec(n_body, n_c),     # kind
+        wspec(n_body, n_c, 3),  # v_local
+        wspec(n_body, n_c, 3),  # flat_n
+        wspec(n_body, n_c, 3),  # flat_pt
+        wspec(n_body, n_c, 3),  # wall_half
+        wspec(n_body, n_c),     # nb_idx
+        wspec(n_body, n_c, 3),  # nb_half
+        wspec(n_body, n_c),     # nb_is_ramp
+        wspec(n_body, n_c),     # mu
+        wspec(n_body, n_c),     # valid
+        wspec(n_agents),        # grab target
+        wspec(n_agents, 3),     # grab r2
+        wspec(n_agents, 4),     # grab rel_q
+        wspec(n_agents),        # grab sep
+    ]
+    out_specs = [wspec(n_body, 3), wspec(n_body, 4), wspec(n_body, 3),
+                 wspec(n_body, 3)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_body, 4, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _make_kernel(cfg),
+        grid=(n_worlds // LANE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*args)
+
+
+def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
+                       ext_force, ext_torque, use_pallas: bool = True):
+    """Batched physics step for all worlds.
+
+    bodies/statics/grab: leading worlds axis; ext_force/ext_torque
+    [W, B, 3]. Uses the Pallas kernel on TPU (W % 128 == 0); otherwise the
+    vmapped jnp reference implementation.
+    """
+    n_worlds = bodies.pos.shape[0]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not (use_pallas and on_tpu and n_worlds % LANE == 0):
+        return jax.vmap(
+            lambda b, s, g, f, t: jphys.physics_step(cfg, b, s, g, f, t)
+        )(bodies, statics, grab, ext_force, ext_torque)
+
+    # Manifold build + effective masses stay in XLA.
+    def prep(b, s):
+        dynamic = b.active & ~b.locked
+        eff_inv_m = jnp.where(dynamic, b.inv_mass, 0.0)
+        eff_inv_I = jnp.where(dynamic[:, None], b.inv_inertia, 0.0)
+        verts = jphys.body_vertices_local(cfg, b.half_ext)
+        pos_pred = b.pos + cfg.dt * b.vel * dynamic[:, None]
+        man = jphys.build_manifold(cfg, b, s, pos_pred, b.quat, verts)
+        return eff_inv_m, eff_inv_I, dynamic, man
+
+    eff_inv_m, eff_inv_I, dynamic, man = jax.vmap(prep)(bodies, statics)
+
+    def wmin(x):
+        return jnp.moveaxis(x, 0, -1).astype(jnp.float32)
+
+    args = (
+        wmin(bodies.pos), wmin(bodies.quat), wmin(bodies.vel),
+        wmin(bodies.omega),
+        wmin(eff_inv_m), wmin(eff_inv_I),
+        wmin(dynamic.astype(jnp.float32)),
+        wmin(ext_force),   # [W,B,3] -> [B,3,W]
+        wmin(ext_torque),
+        wmin(man.kind.astype(jnp.float32)),
+        wmin(man.v_local), wmin(man.flat_n), wmin(man.flat_pt),
+        wmin(man.wall_half),
+        wmin(man.nb_idx.astype(jnp.float32)),
+        wmin(man.nb_half),
+        wmin(man.nb_is_ramp.astype(jnp.float32)),
+        wmin(man.mu),
+        wmin(man.valid.astype(jnp.float32)),
+        wmin(grab.target.astype(jnp.float32)),
+        wmin(grab.r2), wmin(grab.rel_q), wmin(grab.sep),
+    )
+    pos, quat, vel, omega = _physics_pallas(cfg, *args)
+
+    def wmaj(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    return bodies.replace(pos=wmaj(pos), quat=wmaj(quat), vel=wmaj(vel),
+                          omega=wmaj(omega))

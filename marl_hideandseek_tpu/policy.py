@@ -76,6 +76,44 @@ class PooledEntityNet(nn.Module):
                    num_layers=self.num_layers, dtype=self.dtype)(x, train)
 
 
+class HashNet(nn.Module):
+    """Experimental simhash lookup-table backbone (capability of the
+    reference's HashNet, scripts/jax_policy.py:170-247): random projection
+    of the concatenated obs to sign bits -> hash bin -> learned feature
+    table row, with a stop-gradient on the hash."""
+
+    dtype: jnp.dtype
+    hash_power: int = 8
+    feature_dim: int = 32
+
+    @nn.compact
+    def __call__(self, obs, train: bool = False):
+        import jax
+
+        grouped = split_obs(obs)
+        flat = jnp.concatenate([
+            grouped["self"],
+            grouped["agents"].reshape(*grouped["agents"].shape[:-2], -1),
+            grouped["boxes"].reshape(*grouped["boxes"].shape[:-2], -1),
+            grouped["ramps"].reshape(*grouped["ramps"].shape[:-2], -1),
+        ], axis=-1)
+
+        proj = self.param(
+            "proj",
+            lambda rng, shape: jax.random.normal(rng, shape, self.dtype),
+            (self.hash_power, flat.shape[-1]))
+        bits = jnp.einsum("hf,...f->...h", proj, flat) > 0
+        powers = 2 ** jnp.arange(self.hash_power)
+        idx = jnp.sum(bits.astype(jnp.int32) * powers, axis=-1)
+        idx = jax.lax.stop_gradient(idx)
+
+        table = self.param(
+            "table", jax.nn.initializers.he_normal(dtype=self.dtype),
+            (2 ** self.hash_power, self.feature_dim))
+        feats = table[idx]
+        return LayerNorm(dtype=self.dtype)(feats)
+
+
 class AttentionEntityNet(nn.Module):
     """Entity self-attention backbone alternative
     (reference: jax_policy.py:287-292)."""
@@ -108,6 +146,8 @@ def make_policy(dtype=jnp.float32,
             net = PooledEntityNet(dtype=dtype)
         elif backbone == "attention":
             net = AttentionEntityNet(dtype=dtype)
+        elif backbone == "hash":
+            net = HashNet(dtype=dtype)
         else:
             raise ValueError(f"unknown backbone {backbone!r}")
         return RecurrentBackboneEncoder(

@@ -26,6 +26,7 @@ from marl_hideandseek_tpu.train.manager import (
     stop_training,
 )
 from marl_hideandseek_tpu.train.elo import eval_elo, print_elos
+from marl_hideandseek_tpu.train.evaluate import eval_load_ckpt, eval_policies
 from marl_hideandseek_tpu.train.metrics import (
     TensorboardWriter,
     WandbWriter,
@@ -35,5 +36,6 @@ __all__ = [
     "ActionsConfig", "TrainConfig", "PPOConfig", "PBTConfig", "ParamExplore",
     "EvalConfig", "TrainHooks", "TrainingManager", "init_training",
     "aot_compile", "stop_training", "cfg_jax_mem", "eval_elo", "print_elos",
+    "eval_policies", "eval_load_ckpt",
     "TensorboardWriter", "WandbWriter",
 ]

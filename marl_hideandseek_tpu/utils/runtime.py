@@ -1,0 +1,59 @@
+"""Runtime configuration helpers: compilation cache, distributed init,
+NaN guards.
+
+TPU equivalents of the reference's auxiliary runtime machinery
+(SURVEY.md §5): the NVRTC kernel cache (MADRONA_MWGPU_KERNEL_CACHE env,
+jax_train.sh:15) maps to the XLA persistent compilation cache; the
+(stubbed) checkify NaN guards (jax_policy.py:30-37) map to jax debug_nans /
+checkify gates; multi-host bring-up wraps jax.distributed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def enable_compilation_cache(cache_dir: str = "~/.cache/mhs_tpu_xla"):
+    """Persistent XLA compilation cache — the analogue of the reference's
+    megakernel cache: first build is slow, subsequent runs hit the cache."""
+    path = os.path.expanduser(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def enable_nan_guards(enable: bool = True):
+    """Debug-NaN gate (capability of the reference's stubbed checkify
+    asserts). Costly: only for debugging."""
+    jax.config.update("jax_debug_nans", enable)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bring-up (SURVEY.md §2.5: multi-host DP over ICI/DCN).
+
+    With no arguments, uses the TPU environment's automatic configuration.
+    Call before any other JAX API on every host of the pod slice; then
+    `parallel.make_mesh()` spans all hosts' devices.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def sync_hosts(name: str = "sync"):
+    """Barrier across hosts (control-plane sync for checkpoint writes)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def is_primary_host() -> bool:
+    """True on the host that should perform IO (logging, checkpoints)."""
+    return jax.process_index() == 0

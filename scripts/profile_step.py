@@ -15,8 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from marl_hideandseek_tpu.config import EnvConfig, SimFlags
-from marl_hideandseek_tpu.env import HideAndSeekEnv, env as env_mod
-from marl_hideandseek_tpu.env import observations, physics
+from marl_hideandseek_tpu.env import HideAndSeekEnv, observations, physics
 
 
 def bench(name, fn, *args, iters=20):
@@ -28,7 +27,7 @@ def bench(name, fn, *args, iters=20):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - start) / iters
-    print(f"{name:30s} {dt * 1e3:9.2f} ms")
+    print(f"{name:30s} {dt * 1e3:9.2f} ms", flush=True)
     return out
 
 
@@ -43,21 +42,23 @@ def main():
     actions = jnp.full((w, cfg.max_agents, 5), 2, jnp.int32)
     actions = actions.at[..., 3:].set(0)
 
-    zeros_f = jnp.zeros((w, cfg.num_dyn_bodies, 3))
-
+    zeros = jnp.zeros((cfg.num_dyn_bodies, 3))
     bench("physics only", jax.vmap(
-        lambda b, s, g: physics.physics_step(
-            cfg, b, s, g, zeros_f[0], zeros_f[0])),
+        lambda b, s, g: physics.physics_step(cfg, b, s, g, zeros, zeros)),
         state.bodies, state.statics, state.grab)
 
-    bench("movement+actions", jax.vmap(
-        lambda s, a: env_mod._action_system(cfg, s, a)), state, actions)
+    def obs_rays(state):
+        q = jax.vmap(
+            functools.partial(observations.obs_ray_queries, cfg))(state)
+        return env._raycast(state, *q)
 
-    bench("obs build", jax.vmap(
-        functools.partial(observations.build_observations, cfg)), state)
+    t_obs, id_obs = bench("obs raycast", obs_rays, state)
 
-    bench("reward vis", jax.vmap(
-        functools.partial(observations.seeker_sees_hider, cfg)), state)
+    bench("obs assembly", lambda s, i, t: jax.vmap(
+        functools.partial(observations.build_observations, cfg))(s, i, t),
+        state, id_obs, t_obs)
+
+    bench("full collect", lambda s: env._collect(s), state)
 
     bench("full step", lambda s, a: env.step(s, a)[0], state, actions)
 

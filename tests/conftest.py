@@ -7,7 +7,10 @@ test pod-slice code without TPU hardware; see SURVEY.md §4.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the machine environment pre-registers a TPU tunnel backend at
+# interpreter startup (sitecustomize) and pins JAX_PLATFORMS to it; the env
+# var alone does not win, so also override via jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
