@@ -476,8 +476,8 @@ def _make_kernel(cfg: EnvConfig):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _physics_pallas(cfg: EnvConfig, *args):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _physics_pallas(cfg: EnvConfig, interpret: bool, *args):
     n_body = cfg.num_dyn_bodies
     n_c = jphys.N_CONTACTS
     _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
@@ -530,20 +530,24 @@ def _physics_pallas(cfg: EnvConfig, *args):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        interpret=interpret,
     )(*args)
 
 
 def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
-                       ext_force, ext_torque, use_pallas: bool = True):
+                       ext_force, ext_torque, use_pallas: bool = True,
+                       interpret: bool = False):
     """Batched physics step for all worlds.
 
     bodies/statics/grab: leading worlds axis; ext_force/ext_torque
     [W, B, 3]. Uses the Pallas kernel on TPU (W % 128 == 0); otherwise the
-    vmapped jnp reference implementation.
+    vmapped jnp reference implementation. `interpret=True` forces the
+    kernel through the Pallas interpreter on any backend (testing only).
     """
     n_worlds = bodies.pos.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not (use_pallas and on_tpu and n_worlds % LANE == 0):
+    if not ((use_pallas and on_tpu and n_worlds % LANE == 0) or
+            (interpret and n_worlds % LANE == 0)):
         return jax.vmap(
             lambda b, s, g, f, t: jphys.physics_step(cfg, b, s, g, f, t)
         )(bodies, statics, grab, ext_force, ext_torque)
@@ -581,7 +585,7 @@ def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
         wmin(grab.target.astype(jnp.float32)),
         wmin(grab.r2), wmin(grab.rel_q), wmin(grab.sep),
     )
-    pos, quat, vel, omega = _physics_pallas(cfg, *args)
+    pos, quat, vel, omega = _physics_pallas(cfg, interpret, *args)
 
     def wmaj(x):
         return jnp.moveaxis(x, -1, 0)

@@ -187,10 +187,10 @@ def _make_kernel(cfg: EnvConfig, n_rays: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 15))
 def _raycast_pallas(cfg: EnvConfig, bpos, bquat, bhalf, bact,
                     wpos, whalf, wact, ppt, pn, pact,
-                    origins, dirs, max_t, exclude):
+                    origins, dirs, max_t, exclude, interpret=False):
     """All inputs worlds-minor; see raycast_batch for shapes."""
     n_rays = origins.shape[1]
     n_worlds = origins.shape[-1]
@@ -230,24 +230,27 @@ def _raycast_pallas(cfg: EnvConfig, bpos, bquat, bhalf, bact,
             jax.ShapeDtypeStruct((n_rays, n_worlds), jnp.float32),
             jax.ShapeDtypeStruct((n_rays, n_worlds), jnp.int32),
         ],
+        interpret=interpret,
     )(origins, dirs, max_t, exclude,
       bpos, bquat, bhalf, bact, wpos, whalf, wact, ppt, pn, pact)
     return t, hit
 
 
 def raycast_batch(cfg: EnvConfig, state, origins, dirs, max_t, exclude,
-                  use_pallas: bool = True):
+                  use_pallas: bool = True, interpret: bool = False):
     """Batched nearest-hit raycast over all worlds.
 
     origins, dirs: [W, R, 3]; max_t, exclude: [W, R].
     Returns (t [W, R] — +inf miss, hit_id [W, R] — -1 miss).
 
     Uses the Pallas kernel on TPU when W % 128 == 0, otherwise the
-    reference jnp path (identical semantics, slower).
+    reference jnp path (identical semantics, slower). `interpret=True`
+    forces the Pallas interpreter on any backend (testing only).
     """
     n_worlds = origins.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not (use_pallas and on_tpu and n_worlds % LANE == 0):
+    if not ((use_pallas and on_tpu and n_worlds % LANE == 0) or
+            (interpret and n_worlds % LANE == 0)):
         t, hit = jax.vmap(
             lambda b, s, o, d, m, e: jnp_rays.raycast_world(
                 cfg, b, s, o, d, m, e)
@@ -277,5 +280,5 @@ def raycast_batch(cfg: EnvConfig, state, origins, dirs, max_t, exclude,
         jnp.moveaxis(max_t, 0, -1).astype(jnp.float32),   # [R, W]
         jnp.moveaxis(exclude, 0, -1).astype(jnp.int32),
     )
-    t, hit = _raycast_pallas(cfg, *args[:10], *args[10:])
+    t, hit = _raycast_pallas(cfg, *args, interpret)
     return jnp.moveaxis(t, -1, 0), jnp.moveaxis(hit, -1, 0)
