@@ -68,12 +68,30 @@ def parse_args():
     p.add_argument("--profile-port", type=int, default=None)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--backbone", type=str, default="pooled",
-                   choices=["pooled", "attention"])
+                   choices=["pooled", "attention", "hash"])
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard worlds over all local chips "
+                        "(('data','model') mesh; grads all-reduce on ICI)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() first "
+                        "(run one process per host of the pod slice)")
+    p.add_argument("--compilation-cache", type=str, default=None,
+                   help="persistent XLA compilation cache dir")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+
+    if args.distributed:
+        from marl_hideandseek_tpu.utils.runtime import init_distributed
+
+        init_distributed()
+    if args.compilation_cache:
+        from marl_hideandseek_tpu.utils.runtime import (
+            enable_compilation_cache)
+
+        enable_compilation_cache(args.compilation_cache)
 
     env = HideAndSeekEnv(EnvConfig(
         num_worlds=args.num_worlds,
@@ -154,6 +172,14 @@ def main():
     mgr = init_training(jax.devices()[0], cfg, env, policy,
                         restore_ckpt=restore,
                         profile_port=args.profile_port)
+
+    if args.data_parallel and len(jax.devices()) > 1:
+        from marl_hideandseek_tpu.parallel import (
+            make_mesh, shard_training_manager)
+
+        mesh = make_mesh()
+        mgr, _ = shard_training_manager(mgr, mesh)
+        print(f"sharding worlds over mesh {mesh.shape}")
 
     last = {"time": 0.0, "update": 0}
 
