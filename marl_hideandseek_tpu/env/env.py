@@ -37,7 +37,7 @@ from marl_hideandseek_tpu.config import (
     OOB_LIMIT,
     OOB_PENALTY,
 )
-from marl_hideandseek_tpu.env import levelgen, observations, physics, rays
+from marl_hideandseek_tpu.env import levelgen, observations
 from marl_hideandseek_tpu.types import (
     AGENT_HIDER,
     AGENT_SEEKER,

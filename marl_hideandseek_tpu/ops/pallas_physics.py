@@ -552,7 +552,9 @@ def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
             lambda b, s, g, f, t: jphys.physics_step(cfg, b, s, g, f, t)
         )(bodies, statics, grab, ext_force, ext_torque)
 
-    # Manifold build + effective masses stay in XLA.
+    # Manifold build + effective masses stay in XLA; vmapping with
+    # out_axes=-1 emits everything directly worlds-minor so no large
+    # per-step transposes are needed.
     def prep(b, s):
         dynamic = b.active & ~b.locked
         eff_inv_m = jnp.where(dynamic, b.inv_mass, 0.0)
@@ -560,9 +562,14 @@ def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
         verts = jphys.body_vertices_local(cfg, b.half_ext)
         pos_pred = b.pos + cfg.dt * b.vel * dynamic[:, None]
         man = jphys.build_manifold(cfg, b, s, pos_pred, b.quat, verts)
-        return eff_inv_m, eff_inv_I, dynamic, man
+        return (eff_inv_m, eff_inv_I, dynamic.astype(jnp.float32),
+                man.kind.astype(jnp.float32), man.v_local, man.flat_n,
+                man.flat_pt, man.wall_half,
+                man.nb_idx.astype(jnp.float32), man.nb_half,
+                man.nb_is_ramp.astype(jnp.float32), man.mu,
+                man.valid.astype(jnp.float32))
 
-    eff_inv_m, eff_inv_I, dynamic, man = jax.vmap(prep)(bodies, statics)
+    man_t = jax.vmap(prep, out_axes=-1)(bodies, statics)
 
     def wmin(x):
         return jnp.moveaxis(x, 0, -1).astype(jnp.float32)
@@ -570,18 +577,10 @@ def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
     args = (
         wmin(bodies.pos), wmin(bodies.quat), wmin(bodies.vel),
         wmin(bodies.omega),
-        wmin(eff_inv_m), wmin(eff_inv_I),
-        wmin(dynamic.astype(jnp.float32)),
+        man_t[0], man_t[1], man_t[2],
         wmin(ext_force),   # [W,B,3] -> [B,3,W]
         wmin(ext_torque),
-        wmin(man.kind.astype(jnp.float32)),
-        wmin(man.v_local), wmin(man.flat_n), wmin(man.flat_pt),
-        wmin(man.wall_half),
-        wmin(man.nb_idx.astype(jnp.float32)),
-        wmin(man.nb_half),
-        wmin(man.nb_is_ramp.astype(jnp.float32)),
-        wmin(man.mu),
-        wmin(man.valid.astype(jnp.float32)),
+        *man_t[3:],
         wmin(grab.target.astype(jnp.float32)),
         wmin(grab.r2), wmin(grab.rel_q), wmin(grab.sep),
     )
