@@ -56,8 +56,14 @@ def main():
 
         return jax.lax.fori_loop(0, CHUNK, body, state)
 
-    # Warmup/compile.
+    # Warmup/compile. Two rounds: the first chunk's output state can carry
+    # different XLA layouts than init's output (the Pallas physics kernel
+    # constrains operand layouts), and jit respecializes on the new
+    # layouts — the second call absorbs that recompile so the timed loop
+    # measures steady state.
     state = run_chunk(state, 0)
+    jax.block_until_ready(state)
+    state = run_chunk(state, CHUNK)
     jax.block_until_ready(state)
 
     n_chunks = max(NUM_STEPS // CHUNK, 1)

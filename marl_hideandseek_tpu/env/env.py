@@ -38,6 +38,7 @@ from marl_hideandseek_tpu.config import (
     OOB_PENALTY,
 )
 from marl_hideandseek_tpu.env import levelgen, observations
+from marl_hideandseek_tpu.ops import pallas_physics, pallas_rays
 from marl_hideandseek_tpu.types import (
     AGENT_HIDER,
     AGENT_SEEKER,
@@ -360,7 +361,6 @@ class HideAndSeekEnv:
         )(state, actions, act_t, act_id)
 
         # Physics at batch level (Pallas substep kernel on TPU).
-        from marl_hideandseek_tpu.ops import pallas_physics
         bodies = pallas_physics.physics_step_batch(
             cfg, state.bodies, state.statics, state.grab, ext_force,
             ext_torque)
@@ -405,8 +405,6 @@ class HideAndSeekEnv:
 
     def _raycast(self, state, origins, dirs, maxt, excl):
         """Batched raycast: Pallas kernel on TPU, vmapped jnp elsewhere."""
-        from marl_hideandseek_tpu.ops import pallas_rays
-
         return pallas_rays.raycast_batch(
             self.cfg, state, origins, dirs, maxt, excl)
 

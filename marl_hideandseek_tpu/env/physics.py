@@ -8,15 +8,15 @@ the TPU VPU and what XLA will fuse, measured in round 1:
   * **No dynamic scatters or gathers in the hot path** — TPU lowers both
     poorly. All cross-body routing uses tiny one-hot einsums; all per-body
     accumulation is masked reductions over dense trailing axes.
-  * **Broadphase once per step** (like the reference's per-step BVH build,
-    src/sim.cpp:1156): top-K candidate walls and neighbor bodies per body
-    by AABB separation.
-  * **Persistent contact manifold**: the full vertex-vs-convex narrowphase
-    runs once per step at predicted poses and selects the C deepest contact
-    candidates per body; each substep only refreshes depth/normal for those
-    [B, C] slots and solves them. This is the batched analogue of the
-    persistent manifolds every production engine uses, and keeps the
-    per-substep working set ~12x smaller than a full candidate sweep.
+  * **Per-vertex persistent manifold**: the narrowphase runs once per step
+    at predicted poses; each of a body's 8 vertices keeps its single
+    nearest surface (running compare-select over planes/walls/bodies — no
+    broadphase, no top_k, no candidate materialization), and each substep
+    only refreshes depth/normal for those [B, 8] slots and solves them.
+    This is the batched analogue of the persistent manifolds production
+    engines use, shaped so the whole build maps onto compare-selects the
+    VPU executes natively (the previous top-K-deepest design spent more
+    time in lax.top_k + one-hot picks than in the solver).
   * Contact model: vertex-vs-convex-SDF (boxes/agents = OBBs, ramps =
     wedges, walls = static AABBs, floor/side = planes). Vertex-face
     manifolds; edge-edge crossings are approximated (the reference also
@@ -50,11 +50,9 @@ from marl_hideandseek_tpu.types import (
 
 GRAVITY = jnp.array([0.0, 0.0, -9.8])  # reference: src/sim.cpp:1360
 
-# Broadphase candidate budgets and manifold capacity.
-K_WALL = 8     # candidate walls per body
-K_PAIR = 8     # candidate neighbor bodies per body
-N_CONTACTS = 8  # persistent manifold slots per body
-BROADPHASE_MARGIN = 1.5
+# Manifold capacity: one slot per body vertex (see build_manifold).
+N_CONTACTS = 8
+CONTACT_MARGIN = 1.5  # near-contact tracking distance at the predicted pose
 
 # Wedge vertex set (padded to 8 like a box for uniform shapes); from
 # data/ramp_collision.obj.
@@ -151,25 +149,6 @@ def _apply_rot(quat, drot):
     return math3d.quat_normalize(quat + math3d.quat_mul(dq, quat))
 
 
-def _body_world_aabb(cfg, pos, quat, half_ext, margin):
-    """[B, 3] lo/hi world AABBs (wedge uses its OBB with centre offset)."""
-    n_body = cfg.num_dyn_bodies
-    _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
-    slot = jnp.arange(n_body)
-    is_ramp = (slot >= ramp_lo) & (slot < ramp_hi)
-    offset = jnp.where(is_ramp[:, None], jnp.array([0.0, -0.5, 0.0]), 0.0)
-    center = pos + math3d.quat_rotate(quat, offset)
-    m = jnp.abs(math3d.quat_to_mat(quat))
-    world_half = jnp.einsum("bij,bj->bi", m, half_ext) + margin
-    return center - world_half, center + world_half
-
-
-def _aabb_separation(lo_a, hi_a, lo_b, hi_b):
-    """Max-axis separation distance (negative = overlapping)."""
-    gap = jnp.maximum(lo_a - hi_b, lo_b - hi_a)
-    return jnp.max(gap, axis=-1)
-
-
 class Manifold(NamedTuple):
     """Per-body persistent contacts, all arrays [B, C, ...]."""
 
@@ -194,8 +173,15 @@ class Manifold(NamedTuple):
 
 def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
                    pos_pred, quat_pred, verts_local) -> Manifold:
-    """Broadphase + narrowphase at predicted poses; keep the C deepest
-    candidates per body."""
+    """Per-vertex argmin narrowphase at the predicted pose.
+
+    Manifold slot c of body b is vertex c, paired with the single nearest
+    surface (deepest SDF) among all planes, walls and other bodies — a
+    running compare-select, so no broadphase, no top_k and no candidate
+    materialization (all three were the TPU cost centres of the previous
+    top-K-deepest design). Slots further than CONTACT_MARGIN from every
+    surface are invalid.
+    """
     n_body = cfg.num_dyn_bodies
     _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
     slot = jnp.arange(n_body)
@@ -205,46 +191,6 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
     n_plane = statics.plane_point.shape[0]
     n_wall = statics.wall_pos.shape[0]
 
-    # ---- broadphase -----------------------------------------------------
-    b_lo, b_hi = _body_world_aabb(cfg, pos_pred, quat_pred,
-                                  bodies.half_ext, BROADPHASE_MARGIN)
-    w_lo = statics.wall_pos - statics.wall_half_ext
-    w_hi = statics.wall_pos + statics.wall_half_ext
-    wall_sep = _aabb_separation(
-        b_lo[:, None], b_hi[:, None], w_lo[None], w_hi[None])  # [B, NW]
-    wall_score = jnp.where(statics.wall_active[None, :], -wall_sep, -1e9)
-    wall_vals, wall_idx = jax.lax.top_k(wall_score, K_WALL)
-    wall_valid = wall_vals > 0.0
-    wall_oh = ((wall_idx[:, :, None] ==
-                jnp.arange(n_wall)[None, None, :]) &
-               wall_valid[:, :, None]).astype(pos_pred.dtype)  # [B,Kw,NW]
-    wc_pos = jnp.einsum("bkw,wd->bkd", wall_oh, statics.wall_pos)
-    wc_half = jnp.maximum(
-        jnp.einsum("bkw,wd->bkd", wall_oh, statics.wall_half_ext), 1e-3)
-    wc_pos = jnp.where(wall_valid[..., None], wc_pos, 1e6)
-
-    pair_sep = _aabb_separation(
-        b_lo[:, None], b_hi[:, None], b_lo[None], b_hi[None])  # [B, B]
-    pair_ok = (active[:, None] & active[None, :] &
-               (slot[:, None] != slot[None, :]))
-    pair_score = jnp.where(pair_ok, -pair_sep, -1e9)
-    nb_vals, nb_idx = jax.lax.top_k(pair_score, K_PAIR)
-    nb_valid = nb_vals > 0.0
-    nb_oh = ((nb_idx[:, :, None] == slot[None, None, :]) &
-             nb_valid[:, :, None]).astype(pos_pred.dtype)      # [B,Kp,B]
-
-    def nbr(x):
-        if x.ndim == 1:
-            return jnp.einsum("bkc,c->bk", nb_oh, x)
-        return jnp.einsum("bkc,cd->bkd", nb_oh, x)
-
-    nbc_pos = jnp.where(nb_valid[..., None], nbr(pos_pred), 1e6)
-    nbc_quat = jnp.where(nb_valid[..., None], nbr(quat_pred),
-                         jnp.array([1.0, 0.0, 0.0, 0.0]))
-    nbc_half = jnp.maximum(nbr(bodies.half_ext), 1e-3)
-    nbc_is_ramp = nbr(is_ramp.astype(pos_pred.dtype)) > 0.5
-
-    # ---- narrowphase at predicted pose ---------------------------------
     verts_w = pos_pred[:, None, :] + math3d.quat_rotate(
         quat_pred[:, None, :], verts_local)            # [B, 8, 3]
 
@@ -253,119 +199,68 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
     sdf_pl = jnp.einsum("bvpk,pk->bvp", rel_p, statics.plane_normal)
     sdf_pl = jnp.where(statics.plane_active[None, None, :], sdf_pl, 1e9)
 
-    # Wall candidates: [B, 8, Kw]
-    rel_w = verts_w[:, :, None, :] - wc_pos[:, None, :, :]
-    sdf_wl, _ = aabb_sdf_normal(rel_w, wc_half[:, None])
-    sdf_wl = jnp.where(wall_valid[:, None, :], sdf_wl, 1e9)
+    # Wall candidates: [B, 8, NW]
+    rel_w = verts_w[:, :, None, :] - statics.wall_pos[None, None]
+    sdf_wl, _ = aabb_sdf_normal(rel_w, statics.wall_half_ext[None, None])
+    sdf_wl = jnp.where(statics.wall_active[None, None, :], sdf_wl, 1e9)
 
-    # Pair candidates: [B, 8, Kp]
-    rel_d = verts_w[:, :, None, :] - nbc_pos[:, None, :, :]
-    pl = math3d.quat_rotate_inv(nbc_quat[:, None, :, :], rel_d)
-    sdf_pr, _ = convex_sdf_local(pl, nbc_half[:, None],
-                                 nbc_is_ramp[:, None, :])
-    sdf_pr = jnp.where(nb_valid[:, None, :], sdf_pr, 1e9)
+    # Pair candidates: [B, 8, B]
+    rel_d = verts_w[:, :, None, :] - pos_pred[None, None]
+    pl = math3d.quat_rotate_inv(quat_pred[None, None], rel_d)
+    sdf_pr, _ = convex_sdf_local(pl, bodies.half_ext[None, None],
+                                 is_ramp[None, None])
+    pair_ok = active[None, :] & (slot[:, None] != slot[None, :])  # [B, B]
+    sdf_pr = jnp.where(pair_ok[:, None, :], sdf_pr, 1e9)
 
-    # ---- candidate flattening + top-C selection ------------------------
-    n_cand = 8 * (n_plane + K_WALL + K_PAIR)
-    sdf_all = jnp.concatenate([
-        sdf_pl.reshape(n_body, 8 * n_plane),
-        sdf_wl.reshape(n_body, 8 * K_WALL),
-        sdf_pr.reshape(n_body, 8 * K_PAIR),
-    ], axis=1)                                           # [B, n_cand]
-    score = jnp.where(active[:, None], -sdf_all, -1e9)
-    top_vals, top_idx = jax.lax.top_k(score, N_CONTACTS)  # [B, C]
-    # Keep near-contacts too (they can engage during substeps).
-    sel_valid = top_vals > -BROADPHASE_MARGIN
-    sel_oh = ((top_idx[:, :, None] ==
-               jnp.arange(n_cand)[None, None, :]) &
-              sel_valid[:, :, None]).astype(pos_pred.dtype)  # [B,C,n_cand]
+    # Per-group argmin + metadata pick (tiny trailing axes; one_hot+einsum
+    # keeps it gather-free).
+    def group_min(sdf, meta_1d=(), meta_2d=()):
+        best = jnp.min(sdf, axis=-1)                       # [B, 8]
+        oh = jax.nn.one_hot(jnp.argmin(sdf, axis=-1), sdf.shape[-1],
+                            dtype=pos_pred.dtype)          # [B, 8, T]
+        out1 = [jnp.einsum("bvt,t->bv", oh, m) for m in meta_1d]
+        out2 = [jnp.einsum("bvt,td->bvd", oh, m) for m in meta_2d]
+        return best, oh, out1, out2
 
-    def pick(cand):  # [B, n_cand, D] -> [B, C, D]
-        if cand.ndim == 2:
-            return jnp.einsum("bcf,bf->bc", sel_oh, cand)
-        return jnp.einsum("bcf,bfd->bcd", sel_oh, cand)
+    s_pl, _, _, (pl_n, pl_pt) = group_min(
+        sdf_pl, meta_2d=(statics.plane_normal, statics.plane_point))
+    s_wl, _, _, (wl_pt, wl_half) = group_min(
+        sdf_wl, meta_2d=(statics.wall_pos, statics.wall_half_ext))
+    s_pr, pr_oh, (pr_idx, pr_ramp, pr_mu), (pr_half,) = group_min(
+        sdf_pr,
+        meta_1d=(slot.astype(pos_pred.dtype),
+                 is_ramp.astype(pos_pred.dtype), mu_body),
+        meta_2d=(bodies.half_ext,))
 
-    # Candidate metadata in flattened order.
-    kind_cand = jnp.concatenate([
-        jnp.full((8 * n_plane,), KIND_PLANE, jnp.int32),
-        jnp.full((8 * K_WALL,), KIND_WALL, jnp.int32),
-        jnp.full((8 * K_PAIR,), KIND_PAIR, jnp.int32),
-    ])
-    kind = (jnp.einsum("bcf,f->bc", sel_oh, kind_cand.astype(jnp.float32))
-            + 0.5).astype(jnp.int32) * sel_valid
+    # 3-way winner (plane beats wall beats pair on exact ties).
+    best = jnp.minimum(jnp.minimum(s_pl, s_wl), s_pr)
+    is_plane = s_pl <= best
+    is_wall = (~is_plane) & (s_wl <= best)
+    is_pair = ~(is_plane | is_wall)
+    valid = (best < CONTACT_MARGIN) & active[:, None]
+    kind = jnp.where(
+        valid,
+        jnp.where(is_plane, KIND_PLANE,
+                  jnp.where(is_wall, KIND_WALL, KIND_PAIR)),
+        KIND_NONE).astype(jnp.int32)
 
-    v_local_cand = jnp.concatenate([
-        jnp.broadcast_to(verts_local[:, :, None],
-                         (n_body, 8, n_plane, 3)).reshape(n_body, -1, 3),
-        jnp.broadcast_to(verts_local[:, :, None],
-                         (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
-        jnp.broadcast_to(verts_local[:, :, None],
-                         (n_body, 8, K_PAIR, 3)).reshape(n_body, -1, 3),
-    ], axis=1)
-
-    zeros3 = jnp.zeros((n_body, 8 * K_PAIR, 3))
-    flat_n_cand = jnp.concatenate([
-        jnp.broadcast_to(statics.plane_normal[None, None],
-                         (n_body, 8, n_plane, 3)).reshape(n_body, -1, 3),
-        jnp.zeros((n_body, 8 * K_WALL, 3)),
-        zeros3,
-    ], axis=1)
-    flat_pt_cand = jnp.concatenate([
-        jnp.broadcast_to(statics.plane_point[None, None],
-                         (n_body, 8, n_plane, 3)).reshape(n_body, -1, 3),
-        jnp.broadcast_to(wc_pos[:, None],
-                         (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
-        zeros3,
-    ], axis=1)
-    wall_half_cand = jnp.concatenate([
-        jnp.ones((n_body, 8 * n_plane, 3)),
-        jnp.broadcast_to(wc_half[:, None],
-                         (n_body, 8, K_WALL, 3)).reshape(n_body, -1, 3),
-        jnp.ones((n_body, 8 * K_PAIR, 3)),
-    ], axis=1)
-    # Neighbor index per candidate, compact (avoids materializing a
-    # [B, n_cand, B] one-hot; the small indices survive the f32 pick).
-    nb_idx_f = jnp.where(nb_valid, nb_idx.astype(jnp.float32), -1.0)
-    nb_idx_cand = jnp.concatenate([
-        jnp.full((n_body, 8 * (n_plane + K_WALL)), -1.0),
-        jnp.broadcast_to(nb_idx_f[:, None],
-                         (n_body, 8, K_PAIR)).reshape(n_body, -1),
-    ], axis=1)
-    nb_half_cand = jnp.concatenate([
-        jnp.ones((n_body, 8 * (n_plane + K_WALL), 3)),
-        jnp.broadcast_to(nbc_half[:, None],
-                         (n_body, 8, K_PAIR, 3)).reshape(n_body, -1, 3),
-    ], axis=1)
-    nb_is_ramp_cand = jnp.concatenate([
-        jnp.zeros((n_body, 8 * (n_plane + K_WALL))),
-        jnp.broadcast_to(nbc_is_ramp[:, None].astype(jnp.float32),
-                         (n_body, 8, K_PAIR)).reshape(n_body, -1),
-    ], axis=1)
     # Friction: plane/wall muD = 2 (reference mgr.cpp:492,535), pairs
     # combine with max.
-    mu_static = jnp.maximum(mu_body, 2.0)
-    mu_pair = jnp.maximum(mu_body[:, None], nbr(mu_body))
-    mu_cand = jnp.concatenate([
-        jnp.broadcast_to(mu_static[:, None],
-                         (n_body, 8 * (n_plane + K_WALL))),
-        jnp.broadcast_to(mu_pair[:, None],
-                         (n_body, 8, K_PAIR)).reshape(n_body, -1),
-    ], axis=1)
-
-    picked_nb_raw = pick(jnp.where(nb_idx_cand < 0, 0.0, nb_idx_cand + 1.0))
-    picked_nb = (picked_nb_raw + 0.5).astype(jnp.int32) - 1  # -1 = none
+    mu_static = jnp.maximum(mu_body, 2.0)[:, None]
+    mu = jnp.where(is_pair, jnp.maximum(mu_body[:, None], pr_mu), mu_static)
 
     return Manifold(
         kind=kind,
-        v_local=pick(v_local_cand),
-        flat_n=pick(flat_n_cand),
-        flat_pt=pick(flat_pt_cand),
-        wall_half=jnp.maximum(pick(wall_half_cand), 1e-3),
-        nb_idx=picked_nb,
-        nb_half=jnp.maximum(pick(nb_half_cand), 1e-3),
-        nb_is_ramp=pick(nb_is_ramp_cand) > 0.5,
-        mu=pick(mu_cand),
-        valid=sel_valid,
+        v_local=verts_local,
+        flat_n=pl_n,
+        flat_pt=jnp.where(is_wall[..., None], wl_pt, pl_pt),
+        wall_half=jnp.maximum(wl_half, 1e-3),
+        nb_idx=jnp.where(is_pair & valid,
+                         (pr_idx + 0.5).astype(jnp.int32), -1),
+        nb_half=jnp.maximum(pr_half, 1e-3),
+        nb_is_ramp=pr_ramp > 0.5,
+        mu=mu,
+        valid=valid,
     )
 
 

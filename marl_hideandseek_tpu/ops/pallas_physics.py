@@ -8,11 +8,13 @@ component form (x/y/z as separate [.., 128] arrays — no tiny trailing dims
 to pad), and all cross-body routing is an unrolled compare-select loop over
 the 17 body slots (no gathers/scatters).
 
-Scope: integration + persistent-manifold contact refresh/solve + grab
-joints + velocity reconstruction + velocity-pass friction — exactly
-`env/physics.py::physics_step` minus the once-per-step manifold build,
-which stays in XLA (top_k does not map to the VPU). The jnp implementation
-remains the reference semantics and the CPU fallback.
+Scope: the FULL physics step — once-per-step per-vertex manifold build +
+integration + contact refresh/solve + grab joints + velocity
+reconstruction + velocity-pass friction — exactly
+`env/physics.py::physics_step`. The manifold build runs in-kernel (a
+running compare-select over planes/walls/bodies per vertex), so contact
+metadata never round-trips HBM. The jnp implementation remains the
+reference semantics and the CPU fallback.
 """
 
 from __future__ import annotations
@@ -141,18 +143,19 @@ def _wedge_sdf_normal(p):
     return sdf, (nx * inv, ny * inv, nz * inv)
 
 
-def _make_kernel(cfg: EnvConfig):
+def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
     n_body = cfg.num_dyn_bodies
     n_c = jphys.N_CONTACTS
     _, (ramp_lo, ramp_hi), (agent_lo, agent_hi) = body_slot_ranges(cfg)
     n_agents = agent_hi - agent_lo
     h = cfg.dt / cfg.num_physics_substeps
     n_sub = cfg.num_physics_substeps
+    margin = jphys.CONTACT_MARGIN
 
     def kernel(pos_ref, quat_ref, vel_ref, om_ref,
-               invm_ref, invI_ref, dyn_ref, f_ref, tq_ref,
-               kind_ref, vloc_ref, fn_ref, fpt_ref, wh_ref,
-               nbi_ref, nbh_ref, nbr_ref, mu_ref, valid_ref,
+               invm_ref, invI_ref, dyn_ref, act_ref, he_ref, mub_ref,
+               f_ref, tq_ref,
+               wp_ref, wh2_ref, wa_ref, pp_ref, pn_ref, pa_ref,
                gt_ref, gr2_ref, gq_ref, gsep_ref,
                pos_out, quat_out, vel_out, om_out):
         # ---- invariants -------------------------------------------------
@@ -162,19 +165,119 @@ def _make_kernel(cfg: EnvConfig):
         ext_f = (f_ref[:, 0], f_ref[:, 1], f_ref[:, 2])
         ext_t = (tq_ref[:, 0], tq_ref[:, 1], tq_ref[:, 2])
 
-        kind = kind_ref[:]                            # [B, C, L] f32
+        # ---- in-kernel manifold build at the predicted pose -------------
+        # One slot per body vertex; each vertex keeps its nearest surface
+        # (running compare-select over planes, walls, bodies) — the build
+        # never leaves VMEM. jnp reference: physics.py::build_manifold.
+        act = act_ref[:] > 0.5                        # [B, L]
+        half = (he_ref[:, 0], he_ref[:, 1], he_ref[:, 2])
+        mu_b = mub_ref[:]
+        pos0 = (pos_ref[:, 0], pos_ref[:, 1], pos_ref[:, 2])
+        quat0 = (quat_ref[:, 0], quat_ref[:, 1], quat_ref[:, 2],
+                 quat_ref[:, 3])
+        vel0 = (vel_ref[:, 0], vel_ref[:, 1], vel_ref[:, 2])
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_body, LANE), 0)
+        ramp_row = (row >= ramp_lo) & (row < ramp_hi)
+
+        dyn_f = dyn.astype(jnp.float32)
+        pp = tuple(p + cfg.dt * v * dyn_f for p, v in zip(pos0, vel0))
+
+        mu_stat = jnp.maximum(mu_b, 2.0)
+        corner = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+                  for sz in (-1.0, 1.0)]
+        wedge = [(1., 1., 1.), (1., 1., -1.), (1., -2., -1.), (-1., 1., 1.),
+                 (-1., 1., -1.), (-1., -2., -1.), (1., -2., -1.),
+                 (-1., -2., -1.)]
+
+        # Per-slot metadata, field-shared to minimize live VMEM: `aux` is
+        # the plane normal (plane kind) or the wall half extents (wall
+        # kind); `fpt` is the plane point / wall centre / neighbor half
+        # extents (pair kind). Unused combinations are never read (the
+        # solve selects by kind).
+        def vert_local(v):
+            (sx, sy, sz), (wx, wy, wz) = corner[v], wedge[v]
+            return (jnp.where(ramp_row, wx, sx * half[0]),
+                    jnp.where(ramp_row, wy, sy * half[1]),
+                    jnp.where(ramp_row, wz, sz * half[2]))
+
+        slots = []  # per-vertex best metadata
+        for v in range(n_c):
+            p = _add(pp, _qrot(quat0, vert_local(v)))  # [B, L] x3
+
+            best = jnp.full((n_body, LANE), 1e9)
+            zero = jnp.zeros((n_body, LANE))
+            b_kind = zero
+            b_aux = [zero, zero, zero]
+            b_fpt = [zero, zero, zero]
+            b_nbi = zero - 1.0
+            b_nbr = zero
+            b_mu = zero
+
+            def merge(win, sdf, kind, aux, fpt, mu, nbi=None, nbr=None):
+                nonlocal best, b_kind, b_aux, b_fpt, b_nbi, b_nbr, b_mu
+                best = jnp.where(win, sdf, best)
+                b_kind = jnp.where(win, kind, b_kind)
+                b_aux = [jnp.where(win, c, o) for c, o in zip(aux, b_aux)]
+                b_fpt = [jnp.where(win, c, o) for c, o in zip(fpt, b_fpt)]
+                if nbi is not None:
+                    b_nbi = jnp.where(win, nbi, b_nbi)
+                    b_nbr = jnp.where(win, nbr, b_nbr)
+                b_mu = jnp.where(win, mu, b_mu)
+
+            for i in range(n_plane):
+                nrm = (pn_ref[i, 0], pn_ref[i, 1], pn_ref[i, 2])
+                pt = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2])
+                d = _dot(_sub(p, pt), nrm)
+                win = (d < best) & (pa_ref[i] > 0.5)
+                merge(win, d, float(jphys.KIND_PLANE), aux=nrm, fpt=pt,
+                      mu=mu_stat)
+            for i in range(n_wall):
+                wc = (wp_ref[i, 0], wp_ref[i, 1], wp_ref[i, 2])
+                wh = (wh2_ref[i, 0], wh2_ref[i, 1], wh2_ref[i, 2])
+                sdf, _ = _box_sdf_normal(_sub(p, wc), wh)
+                win = (sdf < best) & (wa_ref[i] > 0.5)
+                merge(win, sdf, float(jphys.KIND_WALL), aux=wh, fpt=wc,
+                      mu=mu_stat)
+            for j in range(n_body):
+                pj = (pp[0][j], pp[1][j], pp[2][j])
+                qj = (quat_ref[j, 0], quat_ref[j, 1], quat_ref[j, 2],
+                      quat_ref[j, 3])
+                hj = (he_ref[j, 0], he_ref[j, 1], he_ref[j, 2])
+                p_l = _qrot(qj, _sub(p, pj), inv=True)
+                if ramp_lo <= j < ramp_hi:
+                    sdf, _ = _wedge_sdf_normal(p_l)
+                else:
+                    sdf, _ = _box_sdf_normal(p_l, hj)
+                win = (sdf < best) & (act_ref[j] > 0.5) & (row != j)
+                merge(win, sdf, float(jphys.KIND_PAIR), aux=(zero,) * 3,
+                      fpt=hj, mu=jnp.maximum(mu_b, mub_ref[j]),
+                      nbi=float(j), nbr=float(ramp_lo <= j < ramp_hi))
+
+            v_ok = (best < margin) & act
+            slots.append((jnp.where(v_ok, b_kind, 0.0), b_aux, b_fpt,
+                          b_nbi, b_nbr, b_mu))
+
+        def stk(sel):
+            return jnp.stack([sel(s) for s in slots], axis=1)  # [B, C, L]
+
+        kind = stk(lambda s: s[0])
         is_plane = kind == float(jphys.KIND_PLANE)
         is_wall = kind == float(jphys.KIND_WALL)
         is_pair = kind == float(jphys.KIND_PAIR)
-        vloc = (vloc_ref[:, :, 0], vloc_ref[:, :, 1], vloc_ref[:, :, 2])
-        fn = (fn_ref[:, :, 0], fn_ref[:, :, 1], fn_ref[:, :, 2])
-        fpt = (fpt_ref[:, :, 0], fpt_ref[:, :, 1], fpt_ref[:, :, 2])
-        whalf = (wh_ref[:, :, 0], wh_ref[:, :, 1], wh_ref[:, :, 2])
-        nb_idx = nbi_ref[:]                           # [B, C, L] f32
-        nb_half = (nbh_ref[:, :, 0], nbh_ref[:, :, 1], nbh_ref[:, :, 2])
-        nb_ramp = nbr_ref[:] > 0.5
-        mu = mu_ref[:]
-        valid = valid_ref[:] > 0.5
+        valid = kind > 0.5
+        vloc = tuple(
+            jnp.stack([vert_local(v)[k] for v in range(n_c)], axis=1)
+            for k in range(3))
+        aux = tuple(stk(lambda s, k=k: s[1][k]) for k in range(3))
+        fptm = tuple(stk(lambda s, k=k: s[2][k]) for k in range(3))
+        fn = aux                              # plane normal (plane kind)
+        whalf = tuple(jnp.maximum(c, 1e-3) for c in aux)   # wall kind
+        fpt = fptm
+        nb_half = tuple(jnp.maximum(c, 1e-3) for c in fptm)  # pair kind
+        nb_idx = stk(lambda s: s[3])
+        nb_ramp = stk(lambda s: s[4]) > 0.5
+        mu = stk(lambda s: s[5])
 
         # Neighbor inverse mass/inertia (static within the step).
         def route(field_rows):
@@ -476,10 +579,10 @@ def _make_kernel(cfg: EnvConfig):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _physics_pallas(cfg: EnvConfig, interpret: bool, *args):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _physics_pallas(cfg: EnvConfig, interpret: bool, n_wall: int,
+                    n_plane: int, *args):
     n_body = cfg.num_dyn_bodies
-    n_c = jphys.N_CONTACTS
     _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
     n_agents = agent_hi - agent_lo
     n_worlds = args[0].shape[-1]
@@ -499,18 +602,17 @@ def _physics_pallas(cfg: EnvConfig, interpret: bool, *args):
         wspec(n_body),      # inv_m
         wspec(n_body, 3),   # invI
         wspec(n_body),      # dynamic
+        wspec(n_body),      # active
+        wspec(n_body, 3),   # half_ext
+        wspec(n_body),      # friction mu
         wspec(n_body, 3),   # ext force
         wspec(n_body, 3),   # ext torque
-        wspec(n_body, n_c),     # kind
-        wspec(n_body, n_c, 3),  # v_local
-        wspec(n_body, n_c, 3),  # flat_n
-        wspec(n_body, n_c, 3),  # flat_pt
-        wspec(n_body, n_c, 3),  # wall_half
-        wspec(n_body, n_c),     # nb_idx
-        wspec(n_body, n_c, 3),  # nb_half
-        wspec(n_body, n_c),     # nb_is_ramp
-        wspec(n_body, n_c),     # mu
-        wspec(n_body, n_c),     # valid
+        wspec(n_wall, 3),   # wall pos
+        wspec(n_wall, 3),   # wall half
+        wspec(n_wall),      # wall active
+        wspec(n_plane, 3),  # plane point
+        wspec(n_plane, 3),  # plane normal
+        wspec(n_plane),     # plane active
         wspec(n_agents),        # grab target
         wspec(n_agents, 3),     # grab r2
         wspec(n_agents, 4),     # grab rel_q
@@ -525,11 +627,15 @@ def _physics_pallas(cfg: EnvConfig, interpret: bool, *args):
         jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(cfg),
+        _make_kernel(cfg, n_wall, n_plane),
         grid=(n_worlds // LANE,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        # The in-kernel manifold build keeps ~10 metadata planes per vertex
+        # live; the default 16MB scoped-vmem cap is shy of that at B=17,
+        # and v5e/v5p have much more physical VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*args)
 
@@ -552,24 +658,11 @@ def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
             lambda b, s, g, f, t: jphys.physics_step(cfg, b, s, g, f, t)
         )(bodies, statics, grab, ext_force, ext_torque)
 
-    # Manifold build + effective masses stay in XLA; vmapping with
-    # out_axes=-1 emits everything directly worlds-minor so no large
-    # per-step transposes are needed.
-    def prep(b, s):
-        dynamic = b.active & ~b.locked
-        eff_inv_m = jnp.where(dynamic, b.inv_mass, 0.0)
-        eff_inv_I = jnp.where(dynamic[:, None], b.inv_inertia, 0.0)
-        verts = jphys.body_vertices_local(cfg, b.half_ext)
-        pos_pred = b.pos + cfg.dt * b.vel * dynamic[:, None]
-        man = jphys.build_manifold(cfg, b, s, pos_pred, b.quat, verts)
-        return (eff_inv_m, eff_inv_I, dynamic.astype(jnp.float32),
-                man.kind.astype(jnp.float32), man.v_local, man.flat_n,
-                man.flat_pt, man.wall_half,
-                man.nb_idx.astype(jnp.float32), man.nb_half,
-                man.nb_is_ramp.astype(jnp.float32), man.mu,
-                man.valid.astype(jnp.float32))
-
-    man_t = jax.vmap(prep, out_axes=-1)(bodies, statics)
+    # Everything — including the manifold build — runs in the kernel; XLA
+    # only lays the state out worlds-minor (cheap [W, B, k] transposes).
+    dynamic = bodies.active & ~bodies.locked
+    eff_inv_m = jnp.where(dynamic, bodies.inv_mass, 0.0)
+    eff_inv_I = jnp.where(dynamic[..., None], bodies.inv_inertia, 0.0)
 
     def wmin(x):
         return jnp.moveaxis(x, 0, -1).astype(jnp.float32)
@@ -577,14 +670,22 @@ def physics_step_batch(cfg: EnvConfig, bodies, statics, grab,
     args = (
         wmin(bodies.pos), wmin(bodies.quat), wmin(bodies.vel),
         wmin(bodies.omega),
-        man_t[0], man_t[1], man_t[2],
+        wmin(eff_inv_m), wmin(eff_inv_I),
+        wmin(dynamic.astype(jnp.float32)),
+        wmin(bodies.active.astype(jnp.float32)),
+        wmin(bodies.half_ext), wmin(bodies.friction_mu),
         wmin(ext_force),   # [W,B,3] -> [B,3,W]
         wmin(ext_torque),
-        *man_t[3:],
+        wmin(statics.wall_pos), wmin(statics.wall_half_ext),
+        wmin(statics.wall_active.astype(jnp.float32)),
+        wmin(statics.plane_point), wmin(statics.plane_normal),
+        wmin(statics.plane_active.astype(jnp.float32)),
         wmin(grab.target.astype(jnp.float32)),
         wmin(grab.r2), wmin(grab.rel_q), wmin(grab.sep),
     )
-    pos, quat, vel, omega = _physics_pallas(cfg, interpret, *args)
+    pos, quat, vel, omega = _physics_pallas(
+        cfg, interpret, statics.wall_pos.shape[1],
+        statics.plane_point.shape[1], *args)
 
     def wmaj(x):
         return jnp.moveaxis(x, -1, 0)
