@@ -71,19 +71,38 @@ def wall_active(ws: WallSet) -> jnp.ndarray:
     return jnp.arange(MAX_WALLS) < ws.n
 
 
+# Traced-index reads/writes below are one-hot select/reduce, NOT
+# arr[idx] / arr.at[idx].set: under vmap over 16K worlds those lower to
+# batched gather/scatter, which the TPU executes as serial loops — the
+# wall grammar went from ~1s to ~ms per regen step with this form.
+
+
+def _row_read(arr: jnp.ndarray, idx) -> jnp.ndarray:
+    """arr[idx] for arr [K, ...] with traced scalar idx, gather-free."""
+    oh = jnp.arange(arr.shape[0]) == idx
+    oh = oh.reshape(oh.shape + (1,) * (arr.ndim - 1))
+    return jnp.sum(jnp.where(oh, arr, 0), axis=0)
+
+
+def _row_write(arr: jnp.ndarray, idx, val, do) -> jnp.ndarray:
+    """arr.at[idx].set(val) where do, scatter-free."""
+    oh = (jnp.arange(arr.shape[0]) == idx) & do
+    oh = oh.reshape(oh.shape + (1,) * (arr.ndim - 1))
+    return jnp.where(oh, val, arr)
+
+
 def _append_wall(ws: WallSet, p1, p2, do) -> WallSet:
     p1, p2 = _sort_endpoints(p1, p2)
     idx = jnp.clip(ws.n, 0, MAX_WALLS - 1)
-    new_p1 = jnp.where(do, ws.p1.at[idx].set(p1), ws.p1)
-    new_p2 = jnp.where(do, ws.p2.at[idx].set(p2), ws.p2)
-    return ws.replace(p1=new_p1, p2=new_p2, n=ws.n + do.astype(jnp.int32))
+    return ws.replace(p1=_row_write(ws.p1, idx, p1, do),
+                      p2=_row_write(ws.p2, idx, p2, do),
+                      n=ws.n + do.astype(jnp.int32))
 
 
 def _set_wall(ws: WallSet, idx, p1, p2, do) -> WallSet:
     p1, p2 = _sort_endpoints(p1, p2)
-    new_p1 = jnp.where(do, ws.p1.at[idx].set(p1), ws.p1)
-    new_p2 = jnp.where(do, ws.p2.at[idx].set(p2), ws.p2)
-    return ws.replace(p1=new_p1, p2=new_p2)
+    return ws.replace(p1=_row_write(ws.p1, idx, p1, do),
+                      p2=_row_write(ws.p2, idx, p2, do))
 
 
 def _pick_nth_true(mask: jnp.ndarray, nth: jnp.ndarray) -> jnp.ndarray:
@@ -99,23 +118,29 @@ def add_door(ws: WallSet, idx, door_size, key, do) -> WallSet:
     The wall is shortened to end at door_lo and a new wall [door_hi, old_end]
     is appended; the door position is uniform in the middle 40% of the span.
     """
-    p1 = ws.p1[idx]
-    p2 = ws.p2[idx]
+    p1 = _row_read(ws.p1, idx)
+    p2 = _row_read(ws.p2, idx)
     horiz = jnp.abs(p1[1] - p2[1]) < _EPS_H
 
     u = jax.random.uniform(key)
     rat = 0.3 + 0.4 * u
 
     # Work on the wall's major axis: 0 for horizontal, 1 for vertical.
-    ax = jnp.where(horiz, 0, 1)
-    lo = p1[ax] + door_size
-    hi = p2[ax] - door_size
+    # Componentwise selects instead of p[ax] (traced-index ops batch badly).
+    is_x = horiz
+    lo = jnp.where(is_x, p1[0], p1[1]) + door_size
+    hi = jnp.where(is_x, p2[0], p2[1]) - door_size
     c = lo + rat * (hi - lo)
 
-    old_end = p2[ax]
-    shrunk_p2 = p2.at[ax].set(c - 0.5 * door_size)
-    new_p1 = p1.at[ax].set(c + 0.5 * door_size)
-    new_p2 = p1.at[ax].set(old_end)
+    old_end = jnp.where(is_x, p2[0], p2[1])
+
+    def set_ax(v, val):
+        return jnp.stack([jnp.where(is_x, val, v[0]),
+                          jnp.where(is_x, v[1], val)])
+
+    shrunk_p2 = set_ax(p2, c - 0.5 * door_size)
+    new_p1 = set_ax(p1, c + 0.5 * door_size)
+    new_p2 = set_ax(p1, old_end)
 
     ws = _set_wall(ws, idx, p1, shrunk_p2, do)
     ws = _append_wall(ws, new_p1, new_p2, do)
@@ -124,6 +149,13 @@ def add_door(ws: WallSet, idx, door_size, key, do) -> WallSet:
 
 def _swap_xy(ws: WallSet) -> WallSet:
     return ws.replace(p1=ws.p1[:, ::-1], p2=ws.p2[:, ::-1])
+
+
+def _select_ws(pred, a: WallSet, b: WallSet) -> WallSet:
+    """where(pred, a, b) over a WallSet (pred scalar)."""
+    return WallSet(p1=jnp.where(pred, a.p1, b.p1),
+                   p2=jnp.where(pred, a.p2, b.p2),
+                   n=jnp.where(pred, a.n, b.n))
 
 
 def _find_another_wall(ws: WallSet, list_mask, chosen, min_len, key):
@@ -139,8 +171,8 @@ def _find_another_wall(ws: WallSet, list_mask, chosen, min_len, key):
     k = jnp.arange(MAX_WALLS)
     cand = list_mask & (k != chosen)
 
-    cp1 = ws.p1[chosen]
-    cp2 = ws.p2[chosen]
+    cp1 = _row_read(ws.p1, chosen)
+    cp2 = _row_read(ws.p2, chosen)
     cy = cp1[1]
     c_len = cp2[0] - cp1[0]
 
@@ -184,16 +216,16 @@ def _find_another_wall(ws: WallSet, list_mask, chosen, min_len, key):
 def _connect_walls_canonical(ws: WallSet, list_mask, idx_a, idx_b, key, do):
     """Connect two horizontal walls with a vertical connector + door
     (reference: src/geo_gen.cpp:340-375), canonical horizontal case."""
-    ya = ws.p1[idx_a, 1]
-    yb = ws.p1[idx_b, 1]
+    ya = _row_read(ws.p1, idx_a)[1]
+    yb = _row_read(ws.p1, idx_b)[1]
     # "first" has the lower y (reference: src/geo_gen.cpp:346).
     first = jnp.where(ya <= yb, idx_a, idx_b)
     second = jnp.where(ya <= yb, idx_b, idx_a)
 
-    f_p1 = ws.p1[first]
-    f_p2 = ws.p2[first]
-    s_p1 = ws.p1[second]
-    s_p2 = ws.p2[second]
+    f_p1 = _row_read(ws.p1, first)
+    f_p2 = _row_read(ws.p2, first)
+    s_p1 = _row_read(ws.p1, second)
+    s_p2 = _row_read(ws.p2, second)
 
     high = jnp.minimum(f_p2[0], s_p2[0])
     low = jnp.maximum(f_p1[0], s_p1[0])
@@ -233,7 +265,9 @@ def op_connect_and_add_door(ws: WallSet, key, do) -> WallSet:
         list_mask = jnp.where(horiz, h_mask, act & ~h_mask)
 
         # Canonicalize: vertical case runs on xy-swapped geometry.
-        ws_c = jax.lax.cond(horiz, lambda w: w, _swap_xy, ws)
+        # jnp.where, not lax.cond: under vmap a batched cond lowers to
+        # machinery far more expensive than this 2-element select.
+        ws_c = _select_ws(horiz, ws, _swap_xy(ws))
         list_mask_c = jnp.where(
             horiz, h_mask, act & wall_is_horizontal(_swap_xy(ws)))
         min_len = jnp.where(horiz, 0.3, 0.5)
@@ -248,7 +282,7 @@ def op_connect_and_add_door(ws: WallSet, key, do) -> WallSet:
         do_here = do & (~done) & found & (list_len > 0)
         ws_c = _connect_walls_canonical(
             ws_c, list_mask_c, chosen, other, k_conn, do_here)
-        ws_new = jax.lax.cond(horiz, lambda w: w, _swap_xy, ws_c)
+        ws_new = _select_ws(horiz, ws_c, _swap_xy(ws_c))
 
         return (ws_new, done | found), None
 
@@ -262,7 +296,7 @@ def op_add_door(ws: WallSet, key, do) -> WallSet:
     door only if length > 3 * door size."""
     k_wall, k_door = jax.random.split(key)
     idx = jax.random.randint(k_wall, (), 0, jnp.maximum(ws.n, 1))
-    length = wall_length(ws)[idx]
+    length = _row_read(wall_length(ws), idx)
     do = do & (length > 3.0 * DOOR_SIZE_ADD)
     return add_door(ws, idx, DOOR_SIZE_ADD, k_door, do)
 
@@ -301,12 +335,12 @@ def make_walls(key: jnp.ndarray) -> WallSet:
         do = n_avail > 0
         counts = counts.at[op].add(jnp.where(do, -1, 0))
 
-        ws = jax.lax.cond(
-            op == 0,
-            lambda w: op_connect_and_add_door(w, k_op, do),
-            lambda w: op_add_door(w, k_op, do),
-            ws,
-        )
+        # Both ops run, select after (a vmapped lax.cond would do the same
+        # with extra overhead; the op bodies are cheap select chains).
+        is_connect = op == 0
+        ws_a = op_connect_and_add_door(ws, k_op, do & is_connect)
+        ws_b = op_add_door(ws, k_op, do & ~is_connect)
+        ws = _select_ws(is_connect, ws_a, ws_b)
         return (ws, counts), None
 
     counts = jnp.array([0, 0], jnp.int32)

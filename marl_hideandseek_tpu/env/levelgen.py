@@ -182,7 +182,15 @@ def _rejection_place(key, placed: _PlacedSet, half_ext, center_off):
 
     ok_rank = jnp.where(~any_overlap, jnp.arange(n_trials), n_trials)
     win = jnp.minimum(jnp.argmin(ok_rank), n_trials - 1)
-    return pos[win], quat[win], lo[win], hi[win]
+    # One-hot pick via multiply-reduce: a traced-index gather would lower
+    # to a per-world loop under vmap, and `oh @ pos` would become a tiny
+    # MXU dot_general; the masked sum stays on the VPU.
+    oh = (jnp.arange(n_trials) == win)[:, None]
+
+    def pick(x):
+        return jnp.sum(jnp.where(oh, x, 0.0), axis=0)
+
+    return pick(pos), pick(quat), pick(lo), pick(hi)
 
 
 def _append_placed(placed: _PlacedSet, idx, lo, hi, do) -> _PlacedSet:
@@ -239,36 +247,58 @@ def generate_training_world(cfg: EnvConfig, level_key, ep_key,
 
     # --- boxes then ramps then agents, sequentially (order matters for the
     # overlap set; reference places elongated, cubes, ramps, team agents).
-    def place_entity(carry, xs):
-        state, placed = carry
-        (ent_key, slot, is_box, is_ramp, is_elong, agent_team_type,
-         ent_active) = xs
+    # The loop is UNROLLED (17 entities) so every slot index is static:
+    # under vmap over 16K worlds a traced slot would turn each of the ~11
+    # per-entity field writes into a batched scatter, which TPU lowers to
+    # a serial loop (measured: scan version 1.1s, unrolled ~ms).
+    nb, nr, na = cfg.max_boxes, cfg.max_ramps, cfg.max_agents
+    n_ent = nb + nr + na
+    size0 = jnp.where(seekers_first, num_seekers, num_hiders)
+    type0 = jnp.where(seekers_first, AGENT_SEEKER, AGENT_HIDER)
+    type1 = jnp.where(seekers_first, AGENT_HIDER, AGENT_SEEKER)
+    ent_keys = jax.random.split(jax.random.fold_in(k_place, 2000), n_ent)
 
-        half_ext = jnp.where(
-            is_box,
-            jnp.where(is_elong, ELONGATED_HALF, CUBE_HALF),
-            jnp.where(is_ramp, RAMP_HALF, AGENT_HALF),
-        )
-        center_off = jnp.where(is_ramp, RAMP_CENTER_OFF, jnp.zeros(3))
+    agent_types = []
+    agent_actives = []
+    for slot in range(n_ent):
+        is_box = slot < nb
+        is_ramp = nb <= slot < nb + nr
+        is_agent = slot >= nb + nr
 
-        pos, quat, lo, hi = _rejection_place(ent_key, placed, half_ext,
-                                             center_off)
+        if is_box:
+            is_elong = slot < num_elongated  # traced bool
+            half_ext = jnp.where(is_elong, ELONGATED_HALF, CUBE_HALF)
+            friction = jnp.where(is_elong, MU_D_ELONGATED, MU_D_CUBE)
+            inv_mass = jnp.asarray(INV_MASS_BOX)
+            center_off = jnp.zeros(3)
+            ent_active = jnp.asarray(slot < total_boxes)
+        elif is_ramp:
+            half_ext = RAMP_HALF
+            friction = jnp.asarray(MU_D_RAMP)
+            inv_mass = jnp.asarray(INV_MASS_RAMP)
+            center_off = RAMP_CENTER_OFF
+            ent_active = jnp.array(True)  # always 2 ramps (level_gen.cpp:201)
+        else:
+            half_ext = AGENT_HALF
+            friction = jnp.asarray(MU_D_AGENT)
+            inv_mass = jnp.asarray(INV_MASS_AGENT)
+            center_off = jnp.zeros(3)
+            agent_idx = slot - (nb + nr)
+            ent_active = jnp.asarray(agent_idx < num_hiders + num_seekers)
+            agent_types.append(jnp.where(agent_idx < size0, type0, type1))
+            agent_actives.append(ent_active)
 
-        inv_mass = jnp.where(
-            is_box, INV_MASS_BOX, jnp.where(is_ramp, INV_MASS_RAMP,
-                                            INV_MASS_AGENT))
-        friction = jnp.where(
-            is_box,
-            jnp.where(is_elong, MU_D_ELONGATED, MU_D_CUBE),
-            jnp.where(is_ramp, MU_D_RAMP, MU_D_AGENT),
-        )
+        pos, quat, lo, hi = _rejection_place(ent_keys[slot], placed,
+                                             half_ext, center_off)
+
         inv_inertia = _box_inv_inertia(half_ext, inv_mass)
-        is_agent = ~(is_box | is_ramp)
-        # Agents only yaw (reference: src/mgr.cpp:576-584 zeroes inv inertia
-        # x/y for the agent bodies).
-        inv_inertia = jnp.where(
-            is_agent, inv_inertia * jnp.array([0.0, 0.0, 1.0]), inv_inertia)
-        owner = jnp.where(is_agent, OWNER_UNOWNABLE, OWNER_NONE)
+        if is_agent:
+            # Agents only yaw (reference: src/mgr.cpp:576-584 zeroes inv
+            # inertia x/y for the agent bodies).
+            inv_inertia = inv_inertia * jnp.array([0.0, 0.0, 1.0])
+            owner = OWNER_UNOWNABLE
+        else:
+            owner = OWNER_NONE
 
         state = _set_body(
             state, slot,
@@ -279,43 +309,15 @@ def generate_training_world(cfg: EnvConfig, level_key, ep_key,
 
         # Agents are NOT added to the overlap set (reference: makeAgent is
         # never pushed to all_entities, src/level_gen.cpp:285).
-        add = ent_active & ~is_agent
-        placed = _append_placed(placed, MAX_WALLS + slot, lo, hi, add)
-        return (state, placed), None
-
-    nb, nr, na = cfg.max_boxes, cfg.max_ramps, cfg.max_agents
-    n_ent = nb + nr + na
-    slots = jnp.arange(n_ent, dtype=jnp.int32)
-    is_box = slots < nb
-    is_ramp = (slots >= nb) & (slots < nb + nr)
-    ent_idx_in_box = slots
-    is_elong = is_box & (ent_idx_in_box < num_elongated)
-    box_active = is_box & (ent_idx_in_box < total_boxes)
-    ramp_active = is_ramp  # always 2 ramps (reference: src/level_gen.cpp:201)
-
-    # Team layout (reference: src/level_gen.cpp:244-292): first team fills
-    # the first agent slots.
-    agent_idx = slots - (nb + nr)
-    size0 = jnp.where(seekers_first, num_seekers, num_hiders)
-    type0 = jnp.where(seekers_first, AGENT_SEEKER, AGENT_HIDER)
-    type1 = jnp.where(seekers_first, AGENT_HIDER, AGENT_SEEKER)
-    agent_team_type = jnp.where(agent_idx < size0, type0, type1)
-    agent_active = (slots >= nb + nr) & (agent_idx < num_hiders + num_seekers)
-
-    ent_active = jnp.where(is_box, box_active,
-                           jnp.where(is_ramp, ramp_active, agent_active))
-    ent_keys = jax.random.split(jax.random.fold_in(k_place, 2000), n_ent)
-
-    (state, placed), _ = jax.lax.scan(
-        place_entity, (state, placed),
-        (ent_keys, slots, is_box, is_ramp, is_elong, agent_team_type,
-         ent_active))
+        if not is_agent:
+            placed = _append_placed(placed, MAX_WALLS + slot, lo, hi,
+                                    ent_active)
 
     # Agent bookkeeping.
-    agent_types = agent_team_type[nb + nr:]
-    agent_act = agent_active[nb + nr:]
+    agent_types_v = jnp.stack(agent_types)
+    agent_act = jnp.stack(agent_actives)
     state = state.replace(
-        agent_type=jnp.where(agent_act, agent_types, jnp.int32(0)),
+        agent_type=jnp.where(agent_act, agent_types_v, jnp.int32(0)),
         agent_active=agent_act,
         num_hiders=num_hiders.astype(jnp.int32),
         num_seekers=num_seekers.astype(jnp.int32),

@@ -143,7 +143,9 @@ def obb_world_aabb(pos: jnp.ndarray, q: jnp.ndarray,
     Returns (lo, hi), each [..., 3].
     """
     m = jnp.abs(quat_to_mat(q))
-    world_half = jnp.einsum("...ij,...j->...i", m, half_ext)
+    # Multiply-reduce, NOT einsum/dot: a 3x3 dot_general under vmap is
+    # dispatched to the MXU with ~40x padding waste; this stays on the VPU.
+    world_half = jnp.sum(m * half_ext[..., None, :], axis=-1)
     return pos - world_half, pos + world_half
 
 

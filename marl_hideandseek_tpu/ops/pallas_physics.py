@@ -279,13 +279,20 @@ def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
         nb_ramp = stk(lambda s: s[4]) > 0.5
         mu = stk(lambda s: s[5])
 
-        # Neighbor inverse mass/inertia (static within the step).
+        # Neighbor routing masks, computed ONCE per step (nb_idx is fixed
+        # for the whole substep loop): sel[j] = 1.0 where contact routes
+        # to body j. route/scatter then become fmas instead of
+        # compare+selects.
+        nb_sel = [
+            (nb_idx == float(j)).astype(jnp.float32)   # [B, C, L]
+            for j in range(n_body)
+        ]
+
         def route(field_rows):
-            """[B, L] rows -> per-contact [B, C, L] via nb_idx compare."""
-            acc = jnp.zeros((n_body, n_c, LANE))
-            for j in range(n_body):
-                acc = jnp.where(nb_idx == float(j),
-                                field_rows[j][None, None, :], acc)
+            """[B, L] rows -> per-contact [B, C, L] via the route masks."""
+            acc = nb_sel[0] * field_rows[0][None, None, :]
+            for j in range(1, n_body):
+                acc = acc + nb_sel[j] * field_rows[j][None, None, :]
             return acc
 
         nb_w = route(inv_m) * is_pair
@@ -385,12 +392,11 @@ def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
             ang_b_c = _apply_invI(nb_quat, nb_invI,
                                   _cross(r_b, _scale(imp, -1.0)))
 
-            def scatter(vals, weights=None):
+            def scatter(vals):
                 """Sum per-contact [B, C, L] into [B, L] rows by nb_idx."""
                 rows = []
                 for j in range(n_body):
-                    sel = (nb_idx == float(j)).astype(jnp.float32)
-                    rows.append(jnp.sum(vals * sel, axis=(0, 1)))
+                    rows.append(jnp.sum(vals * nb_sel[j], axis=(0, 1)))
                 return jnp.stack(rows, axis=0)
 
             dpos = tuple(a + scatter(b) for a, b in zip(dpos_a, imp_b))

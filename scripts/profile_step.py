@@ -42,10 +42,26 @@ def main():
     actions = jnp.full((w, cfg.max_agents, 5), 2, jnp.int32)
     actions = actions.at[..., 3:].set(0)
 
-    zeros = jnp.zeros((cfg.num_dyn_bodies, 3))
-    bench("physics only", jax.vmap(
-        lambda b, s, g: physics.physics_step(cfg, b, s, g, zeros, zeros)),
-        state.bodies, state.statics, state.grab)
+    from marl_hideandseek_tpu.ops import pallas_physics
+
+    zeros_b = jnp.zeros((w, cfg.num_dyn_bodies, 3))
+    bench("physics (batch path)", lambda b, s, g: pallas_physics.
+          physics_step_batch(cfg, b, s, g, zeros_b, zeros_b),
+          state.bodies, state.statics, state.grab)
+
+    def act_rays(state):
+        q = jax.vmap(
+            functools.partial(observations.action_ray_queries, cfg))(state)
+        return env._raycast(state, *q)
+
+    bench("action raycast", act_rays, state)
+
+    def rew_rays(state):
+        q = jax.vmap(
+            functools.partial(observations.reward_ray_queries, cfg))(state)
+        return env._raycast(state, *q)
+
+    bench("reward raycast", rew_rays, state)
 
     def obs_rays(state):
         q = jax.vmap(
