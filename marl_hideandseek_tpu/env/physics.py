@@ -54,6 +54,16 @@ GRAVITY = jnp.array([0.0, 0.0, -9.8])  # reference: src/sim.cpp:1360
 N_CONTACTS = 8
 CONTACT_MARGIN = 1.5  # near-contact tracking distance at the predicted pose
 
+# Candidate preselection widths: before the per-vertex narrowphase, each
+# body keeps only its K nearest walls / neighbor bodies (by a conservative
+# centre-distance lower bound). This cuts the per-vertex sweep from
+# (planes + all walls + all bodies) to (planes + K + K) — the manifold
+# build is the single largest cost of the physics step on TPU.
+K_WALL = 4
+K_PAIR = 4
+# Wedge vertices reach sqrt(1 + 4 + 1) from the body origin.
+_WEDGE_RADIUS = 6.0 ** 0.5
+
 # Wedge vertex set (padded to 8 like a box for uniform shapes); from
 # data/ramp_collision.obj.
 _WEDGE_VERTS = jnp.array([
@@ -188,49 +198,80 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
     is_ramp = (slot >= ramp_lo) & (slot < ramp_hi)
     active = bodies.active
     mu_body = bodies.friction_mu
-    n_plane = statics.plane_point.shape[0]
-    n_wall = statics.wall_pos.shape[0]
+    k_pair = min(K_PAIR, n_body - 1)
 
     verts_w = pos_pred[:, None, :] + math3d.quat_rotate(
         quat_pred[:, None, :], verts_local)            # [B, 8, 3]
+
+    # Conservative per-body bounding radius (max vertex distance).
+    r_bound = jnp.where(
+        is_ramp, _WEDGE_RADIUS, jnp.linalg.norm(bodies.half_ext, axis=-1))
+
+    # ---- per-body candidate preselection (centre lower bounds) ----------
+    # vertex_sdf(prim) >= centre_sdf(prim) - r_bound, so the K smallest
+    # lower bounds cover every surface a vertex could be nearest to (up to
+    # the rare >K-crowded case, which the contact margin tolerates).
+    lb_w, _ = aabb_sdf_normal(
+        pos_pred[:, None, :] - statics.wall_pos[None],
+        statics.wall_half_ext[None])                   # [B, NW]
+    lb_w = jnp.where(statics.wall_active[None], lb_w - r_bound[:, None], 1e9)
+    lb_top, wsel = jax.lax.top_k(-lb_w, K_WALL)        # [B, K]
+    wall_pos_k = statics.wall_pos[wsel]                # [B, K, 3]
+    wall_half_k = statics.wall_half_ext[wsel]
+    wall_ok_k = -lb_top < 1e8
+
+    pair_ok = active[None, :] & (slot[:, None] != slot[None, :])  # [B, B]
+    lb_p = (jnp.linalg.norm(pos_pred[:, None] - pos_pred[None], axis=-1)
+            - r_bound[:, None] - r_bound[None, :])
+    lb_p = jnp.where(pair_ok, lb_p, 1e9)
+    lbp_top, psel = jax.lax.top_k(-lb_p, k_pair)       # [B, K]
+    nb_pos_k = pos_pred[psel]                          # [B, K, 3]
+    nb_quat_k = quat_pred[psel]
+    nb_half_k = bodies.half_ext[psel]
+    nb_ramp_k = is_ramp[psel]
+    nb_mu_k = mu_body[psel]
+    pair_ok_k = -lbp_top < 1e8
 
     # Plane candidates: [B, 8, P]
     rel_p = verts_w[:, :, None, :] - statics.plane_point[None, None]
     sdf_pl = jnp.einsum("bvpk,pk->bvp", rel_p, statics.plane_normal)
     sdf_pl = jnp.where(statics.plane_active[None, None, :], sdf_pl, 1e9)
 
-    # Wall candidates: [B, 8, NW]
-    rel_w = verts_w[:, :, None, :] - statics.wall_pos[None, None]
-    sdf_wl, _ = aabb_sdf_normal(rel_w, statics.wall_half_ext[None, None])
-    sdf_wl = jnp.where(statics.wall_active[None, None, :], sdf_wl, 1e9)
+    # Wall candidates (preselected): [B, 8, K]
+    rel_w = verts_w[:, :, None, :] - wall_pos_k[:, None]
+    sdf_wl, _ = aabb_sdf_normal(rel_w, wall_half_k[:, None])
+    sdf_wl = jnp.where(wall_ok_k[:, None, :], sdf_wl, 1e9)
 
-    # Pair candidates: [B, 8, B]
-    rel_d = verts_w[:, :, None, :] - pos_pred[None, None]
-    pl = math3d.quat_rotate_inv(quat_pred[None, None], rel_d)
-    sdf_pr, _ = convex_sdf_local(pl, bodies.half_ext[None, None],
-                                 is_ramp[None, None])
-    pair_ok = active[None, :] & (slot[:, None] != slot[None, :])  # [B, B]
-    sdf_pr = jnp.where(pair_ok[:, None, :], sdf_pr, 1e9)
+    # Pair candidates (preselected): [B, 8, K]
+    rel_d = verts_w[:, :, None, :] - nb_pos_k[:, None]
+    pl = math3d.quat_rotate_inv(nb_quat_k[:, None], rel_d)
+    sdf_pr, _ = convex_sdf_local(pl, nb_half_k[:, None],
+                                 nb_ramp_k[:, None])
+    sdf_pr = jnp.where(pair_ok_k[:, None, :], sdf_pr, 1e9)
 
     # Per-group argmin + metadata pick (tiny trailing axes; one_hot+einsum
-    # keeps it gather-free).
+    # keeps it gather-free). Metadata is per-body [B, T(, d)].
     def group_min(sdf, meta_1d=(), meta_2d=()):
         best = jnp.min(sdf, axis=-1)                       # [B, 8]
         oh = jax.nn.one_hot(jnp.argmin(sdf, axis=-1), sdf.shape[-1],
                             dtype=pos_pred.dtype)          # [B, 8, T]
-        out1 = [jnp.einsum("bvt,t->bv", oh, m) for m in meta_1d]
-        out2 = [jnp.einsum("bvt,td->bvd", oh, m) for m in meta_2d]
+        out1 = [jnp.einsum("bvt,bt->bv", oh, m) for m in meta_1d]
+        out2 = [jnp.einsum("bvt,btd->bvd", oh, m) for m in meta_2d]
         return best, oh, out1, out2
 
+    def tile(m):
+        return jnp.broadcast_to(m[None], (n_body,) + m.shape)
+
     s_pl, _, _, (pl_n, pl_pt) = group_min(
-        sdf_pl, meta_2d=(statics.plane_normal, statics.plane_point))
+        sdf_pl, meta_2d=(tile(statics.plane_normal),
+                         tile(statics.plane_point)))
     s_wl, _, _, (wl_pt, wl_half) = group_min(
-        sdf_wl, meta_2d=(statics.wall_pos, statics.wall_half_ext))
+        sdf_wl, meta_2d=(wall_pos_k, wall_half_k))
     s_pr, pr_oh, (pr_idx, pr_ramp, pr_mu), (pr_half,) = group_min(
         sdf_pr,
-        meta_1d=(slot.astype(pos_pred.dtype),
-                 is_ramp.astype(pos_pred.dtype), mu_body),
-        meta_2d=(bodies.half_ext,))
+        meta_1d=(psel.astype(pos_pred.dtype),
+                 nb_ramp_k.astype(pos_pred.dtype), nb_mu_k),
+        meta_2d=(nb_half_k,))
 
     # 3-way winner (plane beats wall beats pair on exact ties).
     best = jnp.minimum(jnp.minimum(s_pl, s_wl), s_pr)

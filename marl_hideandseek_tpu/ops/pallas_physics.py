@@ -184,100 +184,170 @@ def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
         pp = tuple(p + cfg.dt * v * dyn_f for p, v in zip(pos0, vel0))
 
         mu_stat = jnp.maximum(mu_b, 2.0)
-        corner = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
-                  for sz in (-1.0, 1.0)]
+        # Box corner v encodes sign bits (v//4, v//2, v//1) % 2; the wedge
+        # vertex set matches physics.py::_WEDGE_VERTS.
         wedge = [(1., 1., 1.), (1., 1., -1.), (1., -2., -1.), (-1., 1., 1.),
                  (-1., 1., -1.), (-1., -2., -1.), (1., -2., -1.),
                  (-1., -2., -1.)]
+
+        # ---- per-body candidate preselection ------------------------------
+        # Centre-distance lower bounds pick each body's K nearest walls and
+        # neighbor bodies ONCE; the per-vertex sweep below then runs over
+        # planes + K + K instead of planes + all walls + all bodies
+        # (semantics mirrored in env/physics.py::build_manifold).
+        r_bound = jnp.where(
+            ramp_row, jphys._WEDGE_RADIUS,
+            jnp.sqrt(half[0] * half[0] + half[1] * half[1] +
+                     half[2] * half[2]))
+
+        def select_top(lbs, params, k):
+            """k smallest lower bounds in (lb, index) lexicographic order
+            (matches jax.lax.top_k tie-breaking in the jnp path). Returns
+            [(lb_s, fields_s)] with fields routed from the winner."""
+            out = []
+            prev_lb = jnp.full((n_body, LANE), -1e30)
+            prev_i = jnp.full((n_body, LANE), -1.0)
+            n_fields = len(params[0])
+            for _ in range(k):
+                best = jnp.full((n_body, LANE), 1e9)
+                best_i = jnp.full((n_body, LANE), -1.0)
+                fields = [jnp.zeros((n_body, LANE)) for _ in range(n_fields)]
+                for i, (lb, ps) in enumerate(zip(lbs, params)):
+                    fi = float(i)
+                    after_prev = (lb > prev_lb) | ((lb == prev_lb) &
+                                                   (fi > prev_i))
+                    win = after_prev & (lb < best)
+                    best = jnp.where(win, lb, best)
+                    best_i = jnp.where(win, fi, best_i)
+                    fields = [jnp.where(win, p, f)
+                              for p, f in zip(ps, fields)]
+                out.append((best, fields))
+                prev_lb, prev_i = best, best_i
+            return out
+
+        wall_lbs, wall_params = [], []
+        for i in range(n_wall):
+            wc = (wp_ref[i, 0], wp_ref[i, 1], wp_ref[i, 2])
+            wh = (wh2_ref[i, 0], wh2_ref[i, 1], wh2_ref[i, 2])
+            sdf_c, _ = _box_sdf_normal(_sub(pp, wc), wh)
+            wall_lbs.append(
+                jnp.where(wa_ref[i] > 0.5, sdf_c - r_bound, 1e9))
+            wall_params.append(wc + wh)
+        wall_sel = select_top(wall_lbs, wall_params, jphys.K_WALL)
+
+        k_pair = min(jphys.K_PAIR, n_body - 1)
+        pair_lbs, pair_params = [], []
+        for j in range(n_body):
+            pj = (pp[0][j], pp[1][j], pp[2][j])
+            dv = _sub(pp, pj)
+            dist = jnp.sqrt(_dot(dv, dv) + 1e-18) - r_bound - r_bound[j]
+            ok = (act_ref[j] > 0.5) & (row != j)
+            pair_lbs.append(jnp.where(ok, dist, 1e9))
+            pair_params.append((
+                float(j),
+                pj[0], pj[1], pj[2],
+                quat_ref[j, 0], quat_ref[j, 1], quat_ref[j, 2],
+                quat_ref[j, 3],
+                he_ref[j, 0], he_ref[j, 1], he_ref[j, 2],
+                float(ramp_lo <= j < ramp_hi),
+                mub_ref[j],
+            ))
+        pair_sel = select_top(pair_lbs, pair_params, k_pair)
 
         # Per-slot metadata, field-shared to minimize live VMEM: `aux` is
         # the plane normal (plane kind) or the wall half extents (wall
         # kind); `fpt` is the plane point / wall centre / neighbor half
         # extents (pair kind). Unused combinations are never read (the
         # solve selects by kind).
-        def vert_local(v):
-            (sx, sy, sz), (wx, wy, wz) = corner[v], wedge[v]
-            return (jnp.where(ramp_row, wx, sx * half[0]),
-                    jnp.where(ramp_row, wy, sy * half[1]),
-                    jnp.where(ramp_row, wz, sz * half[2]))
+        #
+        # The sweep is vectorized over the vertex axis: all C=8 vertices
+        # ride the sublane dimension ([B, C, L] arrays are exact (8, 128)
+        # vreg tiles), instead of 8 separate [B, L] passes with 17->24
+        # sublane padding each.
+        shape3 = (n_body, n_c, LANE)
+        vv = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+        sgn = [jnp.where((vv // d) % 2 == 1, 1.0, -1.0) for d in (4, 2, 1)]
+        wvert = [jnp.zeros(shape3) for _ in range(3)]
+        for v, cs in enumerate(wedge):
+            m = vv == v
+            wvert = [jnp.where(m, c, w) for c, w in zip(cs, wvert)]
 
-        slots = []  # per-vertex best metadata
-        for v in range(n_c):
-            p = _add(pp, _qrot(quat0, vert_local(v)))  # [B, L] x3
+        def bc(field):
+            """[B, L] per-body field -> broadcastable [B, 1, L]."""
+            return field[:, None, :]
 
-            best = jnp.full((n_body, LANE), 1e9)
-            zero = jnp.zeros((n_body, LANE))
-            b_kind = zero
-            b_aux = [zero, zero, zero]
-            b_fpt = [zero, zero, zero]
-            b_nbi = zero - 1.0
-            b_nbr = zero
-            b_mu = zero
+        ramp3 = bc(ramp_row)
+        vloc = tuple(
+            jnp.where(ramp3, w, s * bc(h))
+            for w, s, h in zip(wvert, sgn, half))
 
-            def merge(win, sdf, kind, aux, fpt, mu, nbi=None, nbr=None):
-                nonlocal best, b_kind, b_aux, b_fpt, b_nbi, b_nbr, b_mu
-                best = jnp.where(win, sdf, best)
-                b_kind = jnp.where(win, kind, b_kind)
-                b_aux = [jnp.where(win, c, o) for c, o in zip(aux, b_aux)]
-                b_fpt = [jnp.where(win, c, o) for c, o in zip(fpt, b_fpt)]
-                if nbi is not None:
-                    b_nbi = jnp.where(win, nbi, b_nbi)
-                    b_nbr = jnp.where(win, nbr, b_nbr)
-                b_mu = jnp.where(win, mu, b_mu)
+        p = _add(tuple(bc(c) for c in pp),
+                 _qrot(tuple(bc(c) for c in quat0), vloc))  # [B, C, L] x3
 
-            for i in range(n_plane):
-                nrm = (pn_ref[i, 0], pn_ref[i, 1], pn_ref[i, 2])
-                pt = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2])
-                d = _dot(_sub(p, pt), nrm)
-                win = (d < best) & (pa_ref[i] > 0.5)
-                merge(win, d, float(jphys.KIND_PLANE), aux=nrm, fpt=pt,
-                      mu=mu_stat)
-            for i in range(n_wall):
-                wc = (wp_ref[i, 0], wp_ref[i, 1], wp_ref[i, 2])
-                wh = (wh2_ref[i, 0], wh2_ref[i, 1], wh2_ref[i, 2])
-                sdf, _ = _box_sdf_normal(_sub(p, wc), wh)
-                win = (sdf < best) & (wa_ref[i] > 0.5)
-                merge(win, sdf, float(jphys.KIND_WALL), aux=wh, fpt=wc,
-                      mu=mu_stat)
-            for j in range(n_body):
-                pj = (pp[0][j], pp[1][j], pp[2][j])
-                qj = (quat_ref[j, 0], quat_ref[j, 1], quat_ref[j, 2],
-                      quat_ref[j, 3])
-                hj = (he_ref[j, 0], he_ref[j, 1], he_ref[j, 2])
-                p_l = _qrot(qj, _sub(p, pj), inv=True)
-                if ramp_lo <= j < ramp_hi:
-                    sdf, _ = _wedge_sdf_normal(p_l)
-                else:
-                    sdf, _ = _box_sdf_normal(p_l, hj)
-                win = (sdf < best) & (act_ref[j] > 0.5) & (row != j)
-                merge(win, sdf, float(jphys.KIND_PAIR), aux=(zero,) * 3,
-                      fpt=hj, mu=jnp.maximum(mu_b, mub_ref[j]),
-                      nbi=float(j), nbr=float(ramp_lo <= j < ramp_hi))
+        best = jnp.full(shape3, 1e9)
+        zero3 = jnp.zeros(shape3)
+        b_kind = zero3
+        b_aux = [zero3, zero3, zero3]
+        b_fpt = [zero3, zero3, zero3]
+        b_nbi = zero3 - 1.0
+        b_nbr = zero3
+        b_mu = zero3
 
-            v_ok = (best < margin) & act
-            slots.append((jnp.where(v_ok, b_kind, 0.0), b_aux, b_fpt,
-                          b_nbi, b_nbr, b_mu))
+        def merge(win, sdf, kind, aux, fpt, mu, nbi=None, nbr=None):
+            nonlocal best, b_kind, b_aux, b_fpt, b_nbi, b_nbr, b_mu
+            best = jnp.where(win, sdf, best)
+            b_kind = jnp.where(win, kind, b_kind)
+            b_aux = [jnp.where(win, c, o) for c, o in zip(aux, b_aux)]
+            b_fpt = [jnp.where(win, c, o) for c, o in zip(fpt, b_fpt)]
+            if nbi is not None:
+                b_nbi = jnp.where(win, nbi, b_nbi)
+                b_nbr = jnp.where(win, nbr, b_nbr)
+            b_mu = jnp.where(win, mu, b_mu)
 
-        def stk(sel):
-            return jnp.stack([sel(s) for s in slots], axis=1)  # [B, C, L]
+        for i in range(n_plane):
+            nrm = (pn_ref[i, 0], pn_ref[i, 1], pn_ref[i, 2])
+            pt = (pp_ref[i, 0], pp_ref[i, 1], pp_ref[i, 2])
+            d = _dot(_sub(p, pt), nrm)
+            win = (d < best) & (pa_ref[i] > 0.5)
+            merge(win, d, float(jphys.KIND_PLANE), aux=nrm, fpt=pt,
+                  mu=bc(mu_stat))
+        for lb_s, fields in wall_sel:
+            wc = tuple(bc(c) for c in fields[0:3])
+            wh = tuple(bc(c) for c in fields[3:6])
+            sdf, _ = _box_sdf_normal(_sub(p, wc), wh)
+            win = (sdf < best) & bc(lb_s < 1e8)
+            merge(win, sdf, float(jphys.KIND_WALL), aux=wh, fpt=wc,
+                  mu=bc(mu_stat))
+        for lb_s, fields in pair_sel:
+            jx = bc(fields[0])
+            pj = tuple(bc(c) for c in fields[1:4])
+            qj = tuple(bc(c) for c in fields[4:8])
+            hj = tuple(bc(c) for c in fields[8:11])
+            rp_s, mu_s = bc(fields[11]), bc(fields[12])
+            p_l = _qrot(qj, _sub(p, pj), inv=True)
+            sdf_b, _ = _box_sdf_normal(p_l, hj)
+            sdf_w, _ = _wedge_sdf_normal(p_l)
+            sdf = jnp.where(rp_s > 0.5, sdf_w, sdf_b)
+            win = (sdf < best) & bc(lb_s < 1e8)
+            merge(win, sdf, float(jphys.KIND_PAIR), aux=(zero3,) * 3,
+                  fpt=hj, mu=jnp.maximum(bc(mu_b), mu_s),
+                  nbi=jx, nbr=rp_s)
 
-        kind = stk(lambda s: s[0])
+        v_ok = (best < margin) & bc(act)
+        kind = jnp.where(v_ok, b_kind, 0.0)
         is_plane = kind == float(jphys.KIND_PLANE)
         is_wall = kind == float(jphys.KIND_WALL)
         is_pair = kind == float(jphys.KIND_PAIR)
         valid = kind > 0.5
-        vloc = tuple(
-            jnp.stack([vert_local(v)[k] for v in range(n_c)], axis=1)
-            for k in range(3))
-        aux = tuple(stk(lambda s, k=k: s[1][k]) for k in range(3))
-        fptm = tuple(stk(lambda s, k=k: s[2][k]) for k in range(3))
+        aux = tuple(b_aux)
+        fptm = tuple(b_fpt)
         fn = aux                              # plane normal (plane kind)
         whalf = tuple(jnp.maximum(c, 1e-3) for c in aux)   # wall kind
         fpt = fptm
         nb_half = tuple(jnp.maximum(c, 1e-3) for c in fptm)  # pair kind
-        nb_idx = stk(lambda s: s[3])
-        nb_ramp = stk(lambda s: s[4]) > 0.5
-        mu = stk(lambda s: s[5])
+        nb_idx = b_nbi
+        nb_ramp = b_nbr > 0.5
+        mu = b_mu
 
         # Neighbor routing masks, computed ONCE per step (nb_idx is fixed
         # for the whole substep loop): sel[j] = 1.0 where contact routes

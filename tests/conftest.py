@@ -21,3 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the env/train graphs are large and dominate
+# suite wall time; repeated runs (and repeated identical jits across test
+# files) hit the cache instead of recompiling.
+from marl_hideandseek_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".xla_cache"))

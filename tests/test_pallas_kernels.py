@@ -18,8 +18,12 @@ from marl_hideandseek_tpu.env import HideAndSeekEnv, observations
 from marl_hideandseek_tpu.ops import pallas_physics, pallas_rays
 
 W = 128  # one lane block
-CFG = EnvConfig(num_worlds=W, min_hiders=2, max_hiders=2, min_seekers=2,
-                max_seekers=2, sim_flags=SimFlags.ZeroAgentVelocity)
+# Reduced body capacity (3 boxes + 1 ramp + 2 agents): the interpreter cost
+# of the unrolled kernels scales ~quadratically with body slots, and the
+# kernels are generated from cfg the same way at any capacity.
+CFG = EnvConfig(num_worlds=W, min_hiders=1, max_hiders=1, min_seekers=1,
+                max_seekers=1, max_boxes=3, max_ramps=1,
+                sim_flags=SimFlags.ZeroAgentVelocity)
 
 
 @pytest.fixture(scope="module")
@@ -70,7 +74,7 @@ def test_physics_kernel_multi_step(state):
         CFG, b, state.statics, state.grab, zeros, zeros,
         use_pallas=False, interpret=True))
     bodies = state.bodies
-    for _ in range(5):
+    for _ in range(3):
         bodies = step(bodies)
     assert np.isfinite(np.asarray(bodies.pos)).all()
     assert np.isfinite(np.asarray(bodies.quat)).all()
