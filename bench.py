@@ -19,6 +19,9 @@ import jax.numpy as jnp
 
 from marl_hideandseek_tpu.config import EnvConfig, SimFlags
 from marl_hideandseek_tpu.env import HideAndSeekEnv
+from marl_hideandseek_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 
 NORTH_STAR = 10_000_000.0
 

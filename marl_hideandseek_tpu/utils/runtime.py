@@ -18,8 +18,14 @@ import jax
 
 def enable_compilation_cache(cache_dir: str = "~/.cache/mhs_tpu_xla"):
     """Persistent XLA compilation cache — the analogue of the reference's
-    megakernel cache: first build is slow, subsequent runs hit the cache."""
-    path = os.path.expanduser(cache_dir)
+    megakernel cache (MADRONA_MWGPU_KERNEL_CACHE): first build is slow,
+    subsequent runs hit the cache. All CLI entry points enable this by
+    default (the level-generator program alone takes minutes to build on
+    the TPU backend); MHS_NO_COMPILE_CACHE=1 opts out."""
+    if os.environ.get("MHS_NO_COMPILE_CACHE"):
+        return
+    path = os.path.expanduser(
+        os.environ.get("MHS_COMPILE_CACHE", cache_dir))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -19,6 +19,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from marl_hideandseek_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -11,6 +11,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from marl_hideandseek_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 

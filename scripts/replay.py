@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from marl_hideandseek_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

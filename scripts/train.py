@@ -87,11 +87,13 @@ def main():
         from marl_hideandseek_tpu.utils.runtime import init_distributed
 
         init_distributed()
-    if args.compilation_cache:
-        from marl_hideandseek_tpu.utils.runtime import (
-            enable_compilation_cache)
+    from marl_hideandseek_tpu.utils.runtime import (
+        enable_compilation_cache)
 
+    if args.compilation_cache:
         enable_compilation_cache(args.compilation_cache)
+    else:
+        enable_compilation_cache()
 
     env = HideAndSeekEnv(EnvConfig(
         num_worlds=args.num_worlds,
