@@ -23,7 +23,7 @@ level-gen key explicitly instead of replaying RNG draws (no burn hack).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ from marl_hideandseek_tpu.config import (
     OOB_PENALTY,
 )
 from marl_hideandseek_tpu.env import levelgen, observations
-from marl_hideandseek_tpu.ops import pallas_physics, pallas_rays
+from marl_hideandseek_tpu.ops import pallas_physics, pallas_rays, pallas_step
 from marl_hideandseek_tpu.types import (
     AGENT_HIDER,
     AGENT_SEEKER,
@@ -127,9 +127,19 @@ def _action_system(cfg: EnvConfig, state: EnvState, actions,
     is_obj = (hit_id >= box_lo) & (hit_id < ramp_hi)
     tgt = jnp.where(is_obj, hit_id, 0)
 
+    # All target-slot reads/writes go through the tiny [A, B] one-hot
+    # matrix — dynamic gathers (bodies.x[tgt]) and scatters lower to
+    # serial loops on TPU and dominated the pre-physics phase when used
+    # here (profiled at 16K worlds).
+    n_body = cfg.num_dyn_bodies
+    onehot = tgt[:, None] == jnp.arange(n_body)[None, :]  # [A, B]
+    oh_f = onehot.astype(jnp.float32)
+    t_locked = jnp.any(onehot & bodies.locked[None, :], axis=1)
+    t_owner = jnp.sum(
+        oh_f * bodies.owner[None, :].astype(jnp.float32),
+        axis=1).astype(jnp.int32)
+
     # ---- lock toggle (reference: src/sim.cpp:281-311) --------------------
-    t_locked = bodies.locked[tgt]
-    t_owner = bodies.owner[tgt]
     my_team_owner = jnp.where(
         state.agent_type == AGENT_HIDER, OWNER_HIDER, OWNER_SEEKER)
 
@@ -138,10 +148,7 @@ def _action_system(cfg: EnvConfig, state: EnvState, actions,
 
     # Reduce same-target conflicts with one-hot max-reductions over the
     # tiny [A, B] matrix (order-independent; the reference resolves such
-    # races by arbitrary ECS iteration order). No dynamic scatters: TPU
-    # lowers those to serial loops.
-    n_body = cfg.num_dyn_bodies
-    onehot = tgt[:, None] == jnp.arange(n_body)[None, :]  # [A, B]
+    # races by arbitrary ECS iteration order).
     locked_any = jnp.any(onehot & do_lock[:, None], axis=0)
     unlocked_any = jnp.any(onehot & do_unlock[:, None], axis=0)
     lock_team = jnp.max(
@@ -157,17 +164,20 @@ def _action_system(cfg: EnvConfig, state: EnvState, actions,
     has_grab = state.grab.target >= 0
     release = want_grab & has_grab
 
-    grabbable = is_obj & ~bodies.locked[tgt] & (bodies.owner[tgt] ==
-                                                OWNER_NONE)
+    grabbable = is_obj & ~t_locked & (t_owner == OWNER_NONE)
     acquire = want_grab & ~has_grab & grabbable
 
-    hit_pos = eye + fwd * hit_t[:, None]
-    t_pos = bodies.pos[tgt]
-    t_quat = bodies.quat[tgt]
+    # Clamp the miss sentinel (+inf) out of the attach math: the results
+    # are gated by `acquire` (miss => ~is_obj => ~acquire), and inf-inf
+    # NaNs in the untaken branch would trip checkify float guards.
+    safe_t = jnp.where(is_obj, hit_t, 0.0)
+    hit_pos = eye + fwd * safe_t[:, None]
+    t_pos = oh_f @ bodies.pos
+    t_quat = oh_f @ bodies.quat
     r2_new = math3d.quat_rotate_inv(t_quat, hit_pos - t_pos)
     rel_q_new = math3d.quat_normalize(
         math3d.quat_mul(math3d.quat_inv(t_quat), a_quat))
-    sep_new = hit_t - 1.25
+    sep_new = safe_t - 1.25
 
     g = state.grab
     new_target = jnp.where(release, -1,
@@ -302,6 +312,16 @@ def _fresh_world(cfg: EnvConfig, base_key, world_id, level_id) -> EnvState:
     )
 
 
+class SweepResults(NamedTuple):
+    """Post-physics per-step ray-sweep outputs (all worlds)."""
+
+    vis_seen: jnp.ndarray   # [W, A, T] f32 final visibility mask values
+    lidar: jnp.ndarray      # [W, A, 30] f32 depths
+    act_t: jnp.ndarray      # [W, A] f32 next-step grab/lock hit t
+    act_id: jnp.ndarray     # [W, A] i32 next-step grab/lock hit entity
+    rew_seen: jnp.ndarray   # [W] bool seeker-sees-hider flag
+
+
 class HideAndSeekEnv:
     """Functional environment facade.
 
@@ -313,6 +333,14 @@ class HideAndSeekEnv:
       load_checkpoints(state, ckpt, should_load) -> (state, StepResult)
 
     All methods are pure and jittable; `self` only carries static config.
+
+    The per-step ray work (visibility, lidar, reward check, and the NEXT
+    step's grab/lock interaction rays — traced on the identical state, see
+    types.EnvState.act_hit_*) happens in ONE sweep on the post-physics
+    state, fused into the Pallas physics kernel on TPU. Reset steps
+    re-sweep the regenerated worlds so observations always describe the
+    post-reset state, matching the reference task-graph order
+    (src/sim.cpp:1140-1293: rewards -> reset -> observations).
     """
 
     def __init__(self, cfg: EnvConfig):
@@ -328,8 +356,7 @@ class HideAndSeekEnv:
         state = jax.vmap(
             lambda w: _fresh_world(cfg, key, w, jnp.array(1, jnp.int32))
         )(world_ids)
-        result = self._collect(state)
-        return state, result
+        return self._finish(state)
 
     # -- stepping ----------------------------------------------------------
 
@@ -351,33 +378,27 @@ class HideAndSeekEnv:
 
         actions = actions.astype(jnp.int32)
 
-        # 1. Interaction rays (grab/lock) at batch level, then the vmapped
-        #    movement + action + physics phase.
-        act_q = jax.vmap(
-            functools.partial(observations.action_ray_queries, cfg))(state)
-        act_t, act_id = self._raycast(state, *act_q)
+        # 1. Movement + grab/lock, consuming the carried interaction-ray
+        #    hits (traced on this exact pre-physics state at the end of the
+        #    previous step; reference: actionSystem src/sim.cpp:270-370).
         state, ext_force, ext_torque = jax.vmap(
             functools.partial(self._pre_physics, cfg)
-        )(state, actions, act_t, act_id)
+        )(state, actions, state.act_hit_t, state.act_hit_id)
 
-        # Physics at batch level (Pallas substep kernel on TPU).
-        bodies = pallas_physics.physics_step_batch(
-            cfg, state.bodies, state.statics, state.grab, ext_force,
-            ext_torque)
-        state = state.replace(bodies=bodies)
+        # 2. Physics + the fused post-physics ray sweep.
+        state, sweep = self._physics_and_sweep(state, ext_force, ext_torque)
         if cfg.zero_agent_velocity:
             state = jax.vmap(
                 functools.partial(_zero_agent_velocities, cfg))(state)
 
-        # 2. Seeker->hider reward rays on the post-physics state.
-        rew_q = jax.vmap(
-            functools.partial(observations.reward_ray_queries, cfg))(state)
-        _, rew_id = self._raycast(state, *rew_q)
+        # 3. Rewards/dones/episode results from the sweep's seeker->hider
+        #    flag (pre-reset state, reference order src/sim.cpp:1178-1201).
         state, team_r, rewards, dones = jax.vmap(
-            functools.partial(self._reward_phase, cfg))(state, rew_id)
+            functools.partial(self._reward_phase, cfg))(state, sweep.rew_seen)
 
-        # Conditional reset + regeneration, gated at batch level so the
-        # level generator only runs on steps where some world resets.
+        # 4. Conditional reset + regeneration, gated at batch level so the
+        #    level generator (and the post-reset re-sweep) only run on steps
+        #    where some world resets.
         auto = jnp.zeros((cfg.num_worlds,), bool)
         if not cfg.ignore_episode_length:
             auto = state.step == cfg.episode_len - 1
@@ -393,15 +414,61 @@ class HideAndSeekEnv:
                 lambda w, s, lv: _regen_world(cfg, base_key, w, s, lv)
             )(world_ids, state, level_ids)
             advanced = advance(state)  # non-reset worlds still tick
-            return jax.tree.map(
+            new_state = jax.tree.map(
                 lambda new, old: jnp.where(
                     trigger.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
                 regen, advanced)
+            # Observations must describe the post-reset worlds: re-sweep.
+            return new_state, self._standalone_sweep(new_state)
 
-        state = jax.lax.cond(jnp.any(trigger), do_resets, advance, state)
+        def no_resets(state):
+            return advance(state), sweep
 
-        result = self._collect(state, rewards, dones)
+        state, sweep = jax.lax.cond(
+            jnp.any(trigger), do_resets, no_resets, state)
+
+        state = state.replace(act_hit_t=sweep.act_t, act_hit_id=sweep.act_id)
+        result = self._assemble(state, sweep, rewards, dones)
         return state, result
+
+    # -- sweep machinery ----------------------------------------------------
+
+    def _physics_and_sweep(self, state: EnvState, ext_force, ext_torque):
+        """Physics substeps + the post-physics ray sweep.
+
+        On TPU both run inside one fused Pallas kernel (state never leaves
+        VMEM between the solver and the rays); elsewhere the jnp physics +
+        raycast reference paths compose the same semantics.
+        """
+        cfg = self.cfg
+        if pallas_step.use_fused(cfg, state):
+            bodies, sweep = pallas_step.fused_step(
+                cfg, state, ext_force, ext_torque)
+            return state.replace(bodies=bodies), SweepResults(*sweep)
+        bodies = pallas_physics.physics_step_batch(
+            cfg, state.bodies, state.statics, state.grab, ext_force,
+            ext_torque)
+        state = state.replace(bodies=bodies)
+        return state, self._standalone_sweep(state)
+
+    def _standalone_sweep(self, state: EnvState) -> SweepResults:
+        """The per-step ray sweep as separate raycast launches (init, reset
+        steps, checkpoint load, and the non-fused fallback)."""
+        cfg = self.cfg
+        obs_q = jax.vmap(
+            functools.partial(observations.obs_ray_queries, cfg))(state)
+        obs_t, obs_id = self._raycast(state, *obs_q)
+        vis_seen, lidar = jax.vmap(
+            functools.partial(observations.consume_obs_sweep, cfg)
+        )(state, obs_id, obs_t)
+        act_q = jax.vmap(
+            functools.partial(observations.action_ray_queries, cfg))(state)
+        act_t, act_id = self._raycast(state, *act_q)
+        rew_seen = jax.vmap(
+            functools.partial(observations.reward_flag_from_vis, cfg)
+        )(state, vis_seen)
+        return SweepResults(vis_seen=vis_seen, lidar=lidar, act_t=act_t,
+                            act_id=act_id, rew_seen=rew_seen)
 
     def _raycast(self, state, origins, dirs, maxt, excl):
         """Batched raycast: Pallas kernel on TPU, vmapped jnp elsewhere."""
@@ -417,24 +484,26 @@ class HideAndSeekEnv:
         return state, ext_force, ext_torque
 
     @staticmethod
-    def _reward_phase(cfg: EnvConfig, state: EnvState, rew_hit_id):
+    def _reward_phase(cfg: EnvConfig, state: EnvState, rew_seen):
         """Single-world: reward flag -> rewards/dones -> episode results."""
-        seen = observations.seeker_sees_hider(cfg, state, rew_hit_id)
-        team_r = jnp.where(seen, -1.0, 1.0)
+        team_r = jnp.where(rew_seen, -1.0, 1.0)
         state = state.replace(hider_team_reward=team_r)
         rewards, dones = _rewards_dones(cfg, state, team_r)
         state = _episode_results(cfg, state, team_r)
         return state, team_r, rewards, dones
 
-    def _collect(self, state: EnvState, rewards=None, dones=None
-                 ) -> StepResult:
+    def _finish(self, state: EnvState, rewards=None, dones=None):
+        """Sweep a freshly generated/loaded state and assemble outputs."""
+        sweep = self._standalone_sweep(state)
+        state = state.replace(act_hit_t=sweep.act_t, act_hit_id=sweep.act_id)
+        return state, self._assemble(state, sweep, rewards, dones)
+
+    def _assemble(self, state: EnvState, sweep: SweepResults,
+                  rewards=None, dones=None) -> StepResult:
         cfg = self.cfg
-        obs_q = jax.vmap(
-            functools.partial(observations.obs_ray_queries, cfg))(state)
-        obs_t, obs_id = self._raycast(state, *obs_q)
         obs = jax.vmap(
             functools.partial(observations.build_observations, cfg)
-        )(state, obs_id, obs_t)
+        )(state, sweep.vis_seen, sweep.lidar)
         if rewards is None:
             rewards = jnp.zeros((cfg.num_worlds, cfg.max_agents, 1))
         if dones is None:
@@ -477,4 +546,4 @@ class HideAndSeekEnv:
                          should_load: jnp.ndarray):
         from marl_hideandseek_tpu.env.checkpoint import load_checkpoints
         new_state = load_checkpoints(self.cfg, state, ckpt, should_load)
-        return new_state, self._collect(new_state)
+        return self._finish(new_state)

@@ -122,6 +122,10 @@ def empty_world(cfg: EnvConfig) -> EnvState:
         running_scores=jnp.zeros((2,), jnp.int32),
         finished_scores=jnp.zeros((2,), jnp.float32),
         hider_team_reward=jnp.array(1.0, jnp.float32),
+        # Placeholder miss values; init/step/load recompute the sweep on
+        # every freshly generated world before these are consumed.
+        act_hit_t=jnp.full((na,), jnp.inf, jnp.float32),
+        act_hit_id=jnp.full((na,), -1, jnp.int32),
     )
 
 

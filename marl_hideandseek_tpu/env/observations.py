@@ -135,21 +135,6 @@ def obs_ray_queries(cfg: EnvConfig, state: EnvState):
             maxt.reshape(-1), excl.reshape(-1))
 
 
-def reward_ray_queries(cfg: EnvConfig, state: EnvState):
-    """[A, A] agent->agent rays for the seeker-sees-hider reward check
-    (reference: rewardsVisSystem src/sim.cpp:763-804)."""
-    n_a = cfg.max_agents
-    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
-    a_pos = state.bodies.pos[agent_lo:agent_hi]
-    to = a_pos[None, :, :] - a_pos[:, None, :]               # [A, A, 3]
-    origins = jnp.broadcast_to(a_pos[:, None], (n_a, n_a, 3))
-    maxt = jnp.ones((n_a, n_a))
-    excl = jnp.broadcast_to(
-        (agent_lo + jnp.arange(n_a))[:, None], (n_a, n_a))
-    return (origins.reshape(-1, 3), to.reshape(-1, 3), maxt.reshape(-1),
-            excl.reshape(-1))
-
-
 def action_ray_queries(cfg: EnvConfig, state: EnvState):
     """[A] grab/lock interaction rays (reference: src/sim.cpp:285-331)."""
     from marl_hideandseek_tpu.config import INTERACT_RAY_LEN
@@ -165,27 +150,59 @@ def action_ray_queries(cfg: EnvConfig, state: EnvState):
     return eye, fwd, maxt, excl
 
 
-def seeker_sees_hider(cfg: EnvConfig, state: EnvState,
-                      reward_hit_id: jnp.ndarray) -> jnp.ndarray:
-    """Scalar bool from the [A*A] reward ray results."""
+def consume_obs_sweep(cfg: EnvConfig, state: EnvState,
+                      obs_hit_id: jnp.ndarray, obs_hit_t: jnp.ndarray):
+    """Turn the obs-sweep ray results into (vis_seen [A, T] f32,
+    lidar [A, 30] f32) for one world.
+
+    vis_seen is the final visibility mask value: nearest hit is the target,
+    target inside the 135-degree cone, target slot valid, observer active
+    (reference: computeVisibilitySystem src/sim.cpp:567-710). lidar is the
+    depth with 0 on miss (src/sim.cpp:727-744), zeroed for inactive agents.
+    """
     n_a = cfg.max_agents
     _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
-    a_pos = state.bodies.pos[agent_lo:agent_hi]
-    a_quat = state.bodies.quat[agent_lo:agent_hi]
+    bodies = state.bodies
+    a_pos = bodies.pos[agent_lo:agent_hi]
+    a_quat = bodies.quat[agent_lo:agent_hi]
     a_fwd = math3d.quat_rotate(a_quat, math3d.FWD)
-    is_seeker = state.agent_active & (state.agent_type == AGENT_SEEKER)
-    is_hider = state.agent_active & (state.agent_type == AGENT_HIDER)
+    a_active = state.agent_active
 
-    to_h = a_pos[None, :, :] - a_pos[:, None, :]
-    dist = jnp.linalg.norm(to_h, axis=-1)
+    tgt_slots, tgt_valid = _vis_targets(cfg, state)
+    n_tgt = tgt_slots.shape[1]
+    to_tgt = bodies.pos[tgt_slots] - a_pos[:, None]
+    dist = jnp.linalg.norm(to_tgt, axis=-1)
     cos_angle = jnp.sum(
-        to_h * a_fwd[:, None], axis=-1) / jnp.maximum(dist, 1e-9)
+        to_tgt * a_fwd[:, None], axis=-1) / jnp.maximum(dist, 1e-9)
     in_cone = cos_angle >= _COS_HALF_FOV
 
-    tgt_slot = agent_lo + jnp.arange(n_a)
-    hits_target = reward_hit_id.reshape(n_a, n_a) == tgt_slot[None, :]
-    pair_seen = (hits_target & in_cone &
-                 is_seeker[:, None] & is_hider[None, :])
+    n_rays_per_agent = n_tgt + NUM_LIDAR_SAMPLES
+    hit_id = obs_hit_id.reshape(n_a, n_rays_per_agent)
+    hit_t = obs_hit_t.reshape(n_a, n_rays_per_agent)
+    vis_hit = hit_id[:, :n_tgt]
+    seen = (vis_hit == tgt_slots) & in_cone & tgt_valid & a_active[:, None]
+
+    lidar_hit = hit_id[:, n_tgt:]
+    lidar_t = hit_t[:, n_tgt:]
+    lidar = jnp.where(lidar_hit >= 0, lidar_t, 0.0)
+    lidar = lidar * a_active[:, None].astype(jnp.float32)
+    return seen.astype(jnp.float32), lidar
+
+
+def reward_flag_from_vis(cfg: EnvConfig, state: EnvState,
+                         vis_seen: jnp.ndarray) -> jnp.ndarray:
+    """Scalar seeker-sees-hider bool from the agent columns of the vis
+    sweep (reference: rewardsVisSystem src/sim.cpp:763-804 — the reward
+    rays are geometrically the agent-target visibility rays, so the sweep
+    is shared instead of retraced)."""
+    n_a = cfg.max_agents
+    others = jnp.asarray(_others_index_matrix(n_a))
+    o_safe = jnp.minimum(others, n_a - 1)
+    is_seeker = state.agent_active & (state.agent_type == AGENT_SEEKER)
+    col_is_hider = state.agent_type[o_safe] == AGENT_HIDER
+    # vis_seen already folds in target-slot validity + both-active masks.
+    pair_seen = (vis_seen[:, : MAX_AGENTS - 1] > 0.5) & \
+        is_seeker[:, None] & col_is_hider
     return jnp.any(pair_seen)
 
 
@@ -207,9 +224,9 @@ def _lock_obs(locked, owner):
 
 
 def build_observations(cfg: EnvConfig, state: EnvState,
-                       obs_hit_id: jnp.ndarray, obs_hit_t: jnp.ndarray):
-    """All observation tensors for one world, given the obs-sweep ray
-    results ([R] arrays from obs_ray_queries order)."""
+                       vis_seen: jnp.ndarray, lidar: jnp.ndarray):
+    """All observation tensors for one world, given the consumed sweep
+    results (vis_seen [A, T] f32 from consume_obs_sweep, lidar [A, 30])."""
     n_a = cfg.max_agents
     (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
         body_slot_ranges(cfg)
@@ -221,7 +238,6 @@ def build_observations(cfg: EnvConfig, state: EnvState,
     a_omega = bodies.omega[agent_lo:agent_hi]
     a_active = state.agent_active               # [A] bool
     to_frame = math3d.quat_inv(a_quat)          # [A, 4]
-    a_fwd = math3d.quat_rotate(a_quat, math3d.FWD)
     is_grabbing = (state.grab.target >= 0).astype(jnp.float32)  # [A]
 
     act_f = a_active[:, None].astype(jnp.float32)
@@ -298,32 +314,12 @@ def build_observations(cfg: EnvConfig, state: EnvState,
         axis=-1)
     agent_data = agent_data * o_active[..., None] * act_f[:, :, None]
 
-    # ---- visibility masks from the ray results ---------------------------
-    tgt_slots, tgt_valid = _vis_targets(cfg, state)
-    n_tgt = tgt_slots.shape[1]
-    to_tgt = bodies.pos[tgt_slots] - a_pos[:, None]
-    dist = jnp.linalg.norm(to_tgt, axis=-1)
-    cos_angle = jnp.sum(
-        to_tgt * a_fwd[:, None], axis=-1) / jnp.maximum(dist, 1e-9)
-    in_cone = cos_angle >= _COS_HALF_FOV
-
-    n_rays_per_agent = n_tgt + NUM_LIDAR_SAMPLES
-    hit_id = obs_hit_id.reshape(n_a, n_rays_per_agent)
-    hit_t = obs_hit_t.reshape(n_a, n_rays_per_agent)
-    vis_hit = hit_id[:, :n_tgt]
-    seen = (vis_hit == tgt_slots) & in_cone & tgt_valid & a_active[:, None]
-    seen_f = seen.astype(jnp.float32)
-
+    # ---- visibility masks (consumed sweep results) -----------------------
+    seen_f = vis_seen
     vis_agents = seen_f[:, : MAX_AGENTS - 1, None]
     vis_boxes = seen_f[:, MAX_AGENTS - 1: MAX_AGENTS - 1 + cfg.max_boxes,
                        None]
     vis_ramps = seen_f[:, MAX_AGENTS - 1 + cfg.max_boxes:, None]
-
-    # ---- lidar [A, 30] ---------------------------------------------------
-    lidar_hit = hit_id[:, n_tgt:]
-    lidar_t = hit_t[:, n_tgt:]
-    lidar = jnp.where(lidar_hit >= 0, lidar_t, 0.0)
-    lidar = lidar * act_f
 
     return {
         "prep_counter": prep_counter,

@@ -143,7 +143,11 @@ def _wedge_sdf_normal(p):
     return sdf, (nx * inv, ny * inv, nz * inv)
 
 
-def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
+def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
+    """Build the in-VMEM physics body shared by the physics-only kernel and
+    the fused step kernel (ops/pallas_step.py): takes the 22 input refs,
+    returns the final 13-tuple carry of [B, L] component arrays
+    (px, py, pz, qw, qx, qy, qz, vx, vy, vz, ox, oy, oz)."""
     n_body = cfg.num_dyn_bodies
     n_c = jphys.N_CONTACTS
     _, (ramp_lo, ramp_hi), (agent_lo, agent_hi) = body_slot_ranges(cfg)
@@ -152,12 +156,11 @@ def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
     n_sub = cfg.num_physics_substeps
     margin = jphys.CONTACT_MARGIN
 
-    def kernel(pos_ref, quat_ref, vel_ref, om_ref,
-               invm_ref, invI_ref, dyn_ref, act_ref, he_ref, mub_ref,
-               f_ref, tq_ref,
-               wp_ref, wh2_ref, wa_ref, pp_ref, pn_ref, pa_ref,
-               gt_ref, gr2_ref, gq_ref, gsep_ref,
-               pos_out, quat_out, vel_out, om_out):
+    def core(pos_ref, quat_ref, vel_ref, om_ref,
+             invm_ref, invI_ref, dyn_ref, act_ref, he_ref, mub_ref,
+             f_ref, tq_ref,
+             wp_ref, wh2_ref, wa_ref, pp_ref, pn_ref, pa_ref,
+             gt_ref, gr2_ref, gq_ref, gsep_ref):
         # ---- invariants -------------------------------------------------
         inv_m = invm_ref[:]                           # [B, L]
         invI = (invI_ref[:, 0], invI_ref[:, 1], invI_ref[:, 2])
@@ -645,8 +648,18 @@ def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
                  quat_ref[:, 3],
                  vel_ref[:, 0], vel_ref[:, 1], vel_ref[:, 2],
                  om_ref[:, 0], om_ref[:, 1], om_ref[:, 2])
-        carry = jax.lax.fori_loop(0, n_sub, substep, carry)
+        return jax.lax.fori_loop(0, n_sub, substep, carry)
 
+    return core
+
+
+def _make_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
+    core = make_physics_core(cfg, n_wall, n_plane)
+
+    def kernel(*args):
+        ins, outs = args[:22], args[22:]
+        carry = core(*ins)
+        pos_out, quat_out, vel_out, om_out = outs
         pos_out[:] = jnp.stack(carry[0:3], axis=1)
         quat_out[:] = jnp.stack(carry[3:7], axis=1)
         vel_out[:] = jnp.stack(carry[7:10], axis=1)

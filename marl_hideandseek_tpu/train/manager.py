@@ -26,11 +26,38 @@ from marl_hideandseek_tpu.models import Policy
 from marl_hideandseek_tpu.train import elo as elo_mod
 from marl_hideandseek_tpu.train import pbt as pbt_mod
 from marl_hideandseek_tpu.train.cfg import TrainConfig
-from marl_hideandseek_tpu.train.ppo import make_optimizer, ppo_update
+from marl_hideandseek_tpu.train.ppo import (
+    init_value_stats,
+    make_optimizer,
+    ppo_update,
+)
 from marl_hideandseek_tpu.train.rollout import (
     RolloutState,
     collect_rollout,
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHooks:
+    """Extension hooks called inside the jitted update
+    (reference: TrainHooks subclassed at jax_train.py:91-93). Subclass and
+    override; every method must be pure/traceable (it runs inside the
+    compiled update program — use jax.experimental.io_callback inside a
+    hook for host-side effects).
+
+    post_rollout(update_idx, buffer, metrics) -> metrics
+        Runs after rollout collection, before the PPO update; may add
+        entries consumed by post_update.
+    post_update(update_idx, metrics, train_state) -> metrics
+        Runs at the end of update_iter; the returned dict's scalar entries
+        are written into the ring-buffered metrics when their key exists.
+    """
+
+    def post_rollout(self, update_idx, buffer, metrics):
+        return metrics
+
+    def post_update(self, update_idx, metrics, train_state):
+        return metrics
 
 
 @struct.dataclass
@@ -56,6 +83,7 @@ class TrainingState:
     opt_states: Any
     past_params: Any     # leading axis = num_past_policies (may be empty)
     obs_stats: Any       # EMA normalizer state
+    value_stats: Any     # EMA return normalizer (plain critic path)
     rollout: RolloutState
     hyper_params: Dict[str, jnp.ndarray]
     elo: jnp.ndarray     # [P_total]
@@ -77,6 +105,8 @@ class TrainingManager:
     env: HideAndSeekEnv = struct.field(pytree_node=False)
     policy: Policy = struct.field(pytree_node=False)
     cfg: TrainConfig = struct.field(pytree_node=False)
+    hooks: Optional[TrainHooks] = struct.field(
+        pytree_node=False, default=None)
 
     # -- reference-shaped accessors ---------------------------------------
 
@@ -114,7 +144,10 @@ class TrainingManager:
 
         new_rollout, buffer, roll_metrics = collect_rollout(
             cfg, self.env, self.policy, self.all_params(), st.obs_stats,
-            st.rollout)
+            st.rollout, st.value_stats)
+        if self.hooks is not None:
+            roll_metrics = self.hooks.post_rollout(
+                st.update_idx, buffer, roll_metrics)
 
         # EMA normalizer update from the freshly collected obs.
         flat_obs = jax.tree.map(
@@ -123,9 +156,9 @@ class TrainingManager:
 
         key, k_ppo, k_pbt = jax.random.split(st.key, 3)
         tx = make_optimizer(cfg)
-        params, opt_states, ppo_metrics = ppo_update(
+        params, opt_states, value_stats, ppo_metrics = ppo_update(
             cfg, self.policy, tx, st.params, st.opt_states, obs_stats,
-            st.hyper_params, buffer, k_ppo)
+            st.value_stats, st.hyper_params, buffer, k_ppo)
 
         # ELO from finished training episodes: team 0 = first half of agent
         # slots, team 1 = second half.
@@ -172,14 +205,12 @@ class TrainingManager:
             "entropy": jnp.mean(ppo_metrics["entropy"]),
             "mean_reward": roll_metrics["mean_reward"],
         }
-        for k, v in scalars.items():
-            metrics[k] = metrics[k].at[slot].set(v)
-
         new_state = TrainingState(
             params=params,
             opt_states=opt_states,
             past_params=past_params,
             obs_stats=obs_stats,
+            value_stats=value_stats,
             rollout=new_rollout,
             hyper_params=hyper_params,
             elo=elo,
@@ -187,29 +218,48 @@ class TrainingManager:
             key=key,
             metrics=metrics,
         )
+        if self.hooks is not None:
+            scalars = self.hooks.post_update(
+                st.update_idx, scalars, new_state)
+        for k, v in scalars.items():
+            if k in metrics:
+                metrics[k] = metrics[k].at[slot].set(v)
+        new_state = new_state.replace(metrics=metrics)
         return self.replace(state=new_state)
 
     # -- evaluation --------------------------------------------------------
 
     def eval_elo(self, num_steps: Optional[int] = None) -> "TrainingManager":
-        """Dedicated ELO evaluation pass: fresh matchups, frozen params
-        (reference: madrona_learn.eval_elo)."""
+        """Dedicated ELO evaluation pass: FRESH round-robin matchups over
+        the whole population, frozen params (reference:
+        madrona_learn.eval_elo resamples matchups rather than reusing the
+        training rollout's assignments, jax_train.py:243-275)."""
         cfg = self.cfg
         st = self.state
         steps = num_steps or cfg.steps_per_update * 6
 
-        # Reuse the rollout machinery with a larger horizon by running
-        # several collect passes; env/rollout state changes are discarded.
+        # Fresh round-robin team-vs-team assignments over ALL policies
+        # (train + past) — same scheme as train/evaluate.py — so eval ELO
+        # is unbiased by the training matchmaking portions.
+        n_pol = cfg.total_policies
+        w = self.env.cfg.num_worlds
+        a_per_w = self.env.cfg.max_agents
+        w_idx = jnp.arange(w)
+        t0 = (w_idx % n_pol).astype(jnp.int32)
+        t1 = ((w_idx + 1 + (w_idx // n_pol)) % n_pol).astype(jnp.int32)
+        half = a_per_w // 2
+        fresh_assign = jnp.concatenate([
+            jnp.repeat(t0[:, None], half, axis=1),
+            jnp.repeat(t1[:, None], a_per_w - half, axis=1),
+        ], axis=1).reshape(-1)
+
         eval_cfg = dataclasses.replace(
-            cfg, steps_per_update=steps,
-            num_bptt_chunks=1)
-        rollout = st.rollout
+            cfg, steps_per_update=steps, num_bptt_chunks=1)
+        rollout = st.rollout.replace(assignments=fresh_assign)
         _, buffer, metrics = collect_rollout(
             eval_cfg, self.env, self.policy, self.all_params(),
-            st.obs_stats, rollout)
+            st.obs_stats, rollout, st.value_stats)
 
-        a_per_w = self.env.cfg.max_agents
-        w = self.env.cfg.num_worlds
         assigns = buffer.assignments.reshape(1, -1, w, a_per_w)
         team_pol = jnp.stack(
             [assigns[..., 0], assigns[..., a_per_w // 2]], axis=-1)
@@ -267,7 +317,8 @@ class _HyperView:
 
 def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
                   restore_ckpt: Optional[str] = None,
-                  profile_port: Optional[int] = None) -> TrainingManager:
+                  profile_port: Optional[int] = None,
+                  hooks: Optional[TrainHooks] = None) -> TrainingManager:
     """Build env state, policy params, optimizer and rollout state
     (reference: madrona_learn.init_training, jax_train.py:249-251)."""
     if profile_port is not None:
@@ -325,6 +376,7 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
         opt_states=opt_states,
         past_params=past_params,
         obs_stats=obs_stats,
+        value_stats=init_value_stats(cfg),
         rollout=rollout,
         hyper_params=pbt_mod.init_hyper_params(cfg, k_hyper),
         elo=jnp.full((cfg.total_policies,), elo_mod.ELO_START),
@@ -332,18 +384,34 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
         key=k_state,
         metrics=metrics,
     )
-    mgr = TrainingManager(state=state, env=env, policy=policy, cfg=cfg)
+    mgr = TrainingManager(state=state, env=env, policy=policy, cfg=cfg,
+                          hooks=hooks)
     if restore_ckpt:
         mgr = mgr.restore_ckpt(restore_ckpt)
     return mgr
 
 
-def aot_compile(fn, mgr: TrainingManager):
+def aot_compile(fn, mgr: TrainingManager, nan_guards: Optional[bool] = None):
     """Ahead-of-time compile fn(mgr) -> mgr (reference:
-    madrona_learn.aot_compile, jax_train.py:257-259). Returns a callable
-    with the reference's (err, result) convention folded away: we return
-    a `(err, result)` tuple where err.throw() is a no-op, matching the
-    call sites in the reference train script."""
+    madrona_learn.aot_compile, jax_train.py:257-259) with the (err, result)
+    checkify contract.
+
+    nan_guards=True (or the MHS_NAN_GUARDS env var) compiles the program
+    under jax.experimental.checkify float checks, so `err.throw()` raises
+    on any NaN/Inf/div-by-zero produced inside the update — the real
+    capability behind the reference's stubbed checkify guards
+    (jax_policy.py:30-37). Off by default: the checks add device work.
+    """
+    if nan_guards is None:
+        nan_guards = os.environ.get("MHS_NAN_GUARDS", "") not in ("", "0")
+
+    if nan_guards:
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(fn, errors=checkify.float_checks)
+        compiled = jax.jit(checked).lower(mgr).compile()
+        return lambda m: compiled(m)  # -> (err, result)
+
     compiled = jax.jit(fn).lower(mgr).compile()
 
     class _NoErr:
@@ -366,11 +434,3 @@ def cfg_jax_mem(fraction: float):
     """Set the XLA preallocation fraction (reference:
     madrona_learn.cfg_jax_mem, jax_train.py:28)."""
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", str(fraction))
-
-
-@dataclasses.dataclass(frozen=True)
-class TrainHooks:
-    """Extension hooks (reference: TrainHooks subclassed at
-    jax_train.py:91-93). Round 1: carried for API parity."""
-
-    pass

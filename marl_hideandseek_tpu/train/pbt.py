@@ -38,6 +38,15 @@ def perturb_param(key, value, spec: ParamExplore):
                     spec.base * spec.max_scale)
 
 
+def _reward_specs(cfg: TrainConfig):
+    """The PBT-explorable reward hyperparameters (reference:
+    PBTConfig.reward_hyper_params_explore, jax_train.py:111 — empty in the
+    reference recipe but a real capability of the config surface)."""
+    if cfg.pbt is None:
+        return {}
+    return dict(cfg.pbt.reward_hyper_params_explore or {})
+
+
 def init_hyper_params(cfg: TrainConfig, key) -> Dict[str, jnp.ndarray]:
     """Per-train-policy hyperparameters. With PBT each policy gets an
     independently sampled point; without, the configured scalars."""
@@ -46,12 +55,16 @@ def init_hyper_params(cfg: TrainConfig, key) -> Dict[str, jnp.ndarray]:
     ec = cfg.algo.entropy_coef
     ec_spec = ec if isinstance(ec, ParamExplore) else None
 
-    k_lr, k_ec = jax.random.split(key)
+    reward_specs = _reward_specs(cfg)
+    k_lr, k_ec, *k_rw = jax.random.split(key, 2 + max(len(reward_specs), 1))
     lr = (sample_param(k_lr, lr_spec, (n,)) if lr_spec
           else jnp.full((n,), float(cfg.lr)))
     entropy = (sample_param(k_ec, ec_spec, (n,)) if ec_spec
                else jnp.full((n,), float(ec)))
-    return {"lr": lr, "entropy_coef": entropy}
+    out = {"lr": lr, "entropy_coef": entropy}
+    for k_spec, (name, spec) in zip(k_rw, sorted(reward_specs.items())):
+        out[name] = sample_param(k_spec, spec, (n,))
+    return out
 
 
 def explore_exploit(cfg: TrainConfig, key, elo, params, opt_states,
@@ -85,6 +98,12 @@ def explore_exploit(cfg: TrainConfig, key, elo, params, opt_states,
     if ec_spec is not None:
         new_h["entropy_coef"] = hyper_params["entropy_coef"].at[worst].set(
             perturb_param(k_ec, hyper_params["entropy_coef"][best], ec_spec))
+    reward_specs = _reward_specs(cfg)
+    if reward_specs:
+        k_rw = jax.random.split(key, len(reward_specs) + 2)[2:]
+        for k_spec, (name, spec) in zip(k_rw, sorted(reward_specs.items())):
+            new_h[name] = hyper_params[name].at[worst].set(
+                perturb_param(k_spec, hyper_params[name][best], spec))
     return params, opt_states, new_h
 
 

@@ -37,8 +37,35 @@ def make_optimizer(cfg: TrainConfig):
     )
 
 
+def init_value_stats(cfg: TrainConfig):
+    """Per-policy EMA return-normalizer state for the plain (non-Dreamer)
+    critic (reference: TrainConfig.value_normalizer_decay,
+    jax_train.py:165). Sized to the full population so assignment-routed
+    denormalization is total; only train entries are ever updated."""
+    p = cfg.total_policies
+    return {"mu": jnp.zeros((p,)), "sigma": jnp.ones((p,))}
+
+
+def update_value_stats(cfg: TrainConfig, value_stats, returns, assignments):
+    """EMA-update the per-train-policy return mean/scale from this
+    rollout's returns (masked by policy assignment)."""
+    if cfg.dreamer_v3_critic:
+        return value_stats
+    d = cfg.value_normalizer_decay
+    mu, sigma = value_stats["mu"], value_stats["sigma"]
+    for p in range(cfg.num_train_policies):
+        mask = (assignments == p).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        m = jnp.sum(returns * mask) / denom
+        v = jnp.sum(jnp.square(returns - m) * mask) / denom
+        s = jnp.sqrt(jnp.maximum(v, 1e-6))
+        mu = mu.at[p].set(d * mu[p] + (1.0 - d) * m)
+        sigma = sigma.at[p].set(d * sigma[p] + (1.0 - d) * s)
+    return {"mu": mu, "sigma": sigma}
+
+
 def _policy_loss(cfg: TrainConfig, policy: Policy, params, obs_stats,
-                 minibatch, policy_idx):
+                 value_stats, minibatch, policy_idx):
     """Loss for one train policy over one minibatch.
 
     minibatch leaves: [C, T, M, ...] sequences for M agents.
@@ -85,14 +112,29 @@ def _policy_loss(cfg: TrainConfig, policy: Policy, params, obs_stats,
     if cfg.dreamer_v3_critic:
         v_losses = ac.critic.two_hot_loss(critic_out["logits"], returns)
     else:
+        # Plain critic learns EMA-normalized returns
+        # (reference: value_normalizer_decay, jax_train.py:165); the
+        # stored buffer values/returns are in true-return space, so map
+        # the targets into the normalized space here.
+        mu_p = value_stats["mu"][policy_idx]
+        sig_p = value_stats["sigma"][policy_idx]
+        returns_n = (returns - mu_p) / sig_p
+        old_values_n = (old_values - mu_p) / sig_p
         values = critic_out["value"][..., 0]
+
+        def v_err(v):
+            err = v - returns_n
+            if cfg.algo.huber_value_loss:
+                a = jnp.abs(err)
+                return jnp.where(a <= 1.0, 0.5 * jnp.square(err), a - 0.5)
+            return jnp.square(err)
+
         if cfg.algo.clip_value_loss:
-            v_clipped = old_values + jnp.clip(
-                values - old_values, -clip, clip)
-            v_losses = jnp.maximum(
-                jnp.square(values - returns), jnp.square(v_clipped - returns))
+            v_clipped = old_values_n + jnp.clip(
+                values - old_values_n, -clip, clip)
+            v_losses = jnp.maximum(v_err(values), v_err(v_clipped))
         else:
-            v_losses = jnp.square(values - returns)
+            v_losses = v_err(values)
     value_loss = jnp.sum(v_losses * mask) / denom
 
     entropy = jnp.sum(dists.entropy() * mask) / denom
@@ -107,17 +149,19 @@ def _merge_rnn(x, c, m):
 
 
 def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
-               all_opt_states, obs_stats, hyper_params, buffer: RolloutBuffer,
-               key):
+               all_opt_states, obs_stats, value_stats, hyper_params,
+               buffer: RolloutBuffer, key):
     """Full PPO update: epochs x minibatches over the rollout buffer.
 
     all_params/all_opt_states: leading axis = num_train_policies.
     hyper_params: dict with per-policy 'lr' and 'entropy_coef' arrays.
-    Returns (params, opt_states, metrics).
+    Returns (params, opt_states, value_stats, metrics).
     """
     n_train = cfg.num_train_policies
     c, t, n = buffer.log_probs.shape
     advantages, returns = compute_gae(cfg, buffer)
+    value_stats = update_value_stats(
+        cfg, value_stats, returns, buffer.assignments)
 
     data = {
         "obs": buffer.obs,
@@ -157,7 +201,7 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
             def one_policy(params, opt_state, p_idx, lr, ent_coef):
                 def loss_fn(p):
                     a_l, v_l, ent, ratio, mask, denom = _policy_loss(
-                        cfg, policy, p, obs_stats, mb, p_idx)
+                        cfg, policy, p, obs_stats, value_stats, mb, p_idx)
                     total = (a_l + cfg.algo.value_loss_coef * v_l -
                              ent_coef * ent)
                     return total, (a_l, v_l, ent)
@@ -191,4 +235,4 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
         "value_loss": jnp.mean(v_l, axis=(0, 1)),
         "entropy": jnp.mean(ent, axis=(0, 1)),
     }
-    return all_params, all_opt_states, metrics
+    return all_params, all_opt_states, value_stats, metrics

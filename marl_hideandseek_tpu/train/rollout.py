@@ -81,6 +81,19 @@ def apply_ensemble(policy: Policy, all_params, rnn_states, obs,
     return logits, values, new_rnn
 
 
+def denormalize_values(cfg: TrainConfig, value_stats, values, assignments):
+    """Map critic outputs (normalized-return space) back to true returns,
+    per agent via its policy assignment (the inverse of the EMA value
+    normalizer, reference: value_normalizer_decay jax_train.py:165).
+    Identity for the Dreamer critic (which normalizes internally via
+    symlog/two-hot)."""
+    if cfg.dreamer_v3_critic or value_stats is None:
+        return values
+    mu = jnp.take(value_stats["mu"], assignments)
+    sigma = jnp.take(value_stats["sigma"], assignments)
+    return values * sigma + mu
+
+
 def _select_rnn(arr, sel):
     """arr: [P, L, N, C] (or [P, N, C]); select policy per agent along P."""
     n_axis = arr.ndim - 2  # the N axis (batch) position
@@ -128,11 +141,14 @@ def _resample_assignments(key, dones_w, assignments, cfg: TrainConfig,
 
 
 def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
-                    all_params, obs_stats, rollout: RolloutState):
+                    all_params, obs_stats, rollout: RolloutState,
+                    value_stats=None):
     """Run steps_per_update env steps, return (rollout', buffer, metrics).
 
     obs_stats: the EMA normalizer state (frozen during collection; updated
-    by the caller from the collected raw obs).
+    by the caller from the collected raw obs). value_stats: the EMA return
+    normalizer (plain critic only) — stored values/bootstraps are
+    denormalized so GAE runs in true-return space.
     """
     num_worlds = env.cfg.num_worlds
     a_per_w = env.cfg.max_agents
@@ -151,6 +167,7 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         logits, values, new_rnn = apply_ensemble(
             policy, all_params, rnn_states, normalized, assignments,
             n_total_policies)
+        values = denormalize_values(cfg, value_stats, values, assignments)
         from marl_hideandseek_tpu.models import DiscreteActionDistributions
         dists = DiscreteActionDistributions(
             tuple(cfg.actions.actions_num_buckets), logits)
@@ -207,6 +224,8 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
     _, boot_values, _ = apply_ensemble(
         policy, all_params, final_rnn, normalized, final_assign,
         n_total_policies)
+    boot_values = denormalize_values(
+        cfg, value_stats, boot_values, final_assign)
 
     buffer = RolloutBuffer(
         obs=chunks["obs"],

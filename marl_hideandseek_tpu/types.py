@@ -137,6 +137,14 @@ class EnvState:
     hider_team_reward: jnp.ndarray  # [W] f32 (the AtomicFloat flag,
     #                              src/sim.hpp:362, as a plain per-world scalar)
 
+    # Carried grab/lock interaction-ray hits, traced on THIS state at the
+    # end of the step that produced it (the reference traces them at the
+    # start of the next step on the identical pre-physics state,
+    # src/sim.cpp:285-331; carrying them lets the whole per-step ray sweep
+    # run fused with the physics kernel).
+    act_hit_t: jnp.ndarray      # [W, A] f32 (+inf miss)
+    act_hit_id: jnp.ndarray     # [W, A] i32 (-1 miss)
+
     @property
     def num_worlds(self) -> int:
         return self.step.shape[0]

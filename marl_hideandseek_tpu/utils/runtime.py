@@ -63,3 +63,23 @@ def sync_hosts(name: str = "sync"):
 def is_primary_host() -> bool:
     """True on the host that should perform IO (logging, checkpoints)."""
     return jax.process_index() == 0
+
+
+def global_metric_mean(value) -> float:
+    """Mean of a host-local scalar metric across all processes.
+
+    Multi-host metric reduction (SURVEY.md §2.5 comm-backend row): rides
+    the control-plane collective (DCN between hosts), so per-host FPS /
+    loss scalars aggregate without touching device state. Single-process:
+    identity."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    import jax.numpy as jnp
+
+    gathered = multihost_utils.process_allgather(
+        jnp.asarray(value, jnp.float32))
+    return float(np.mean(np.asarray(gathered)))

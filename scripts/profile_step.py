@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from marl_hideandseek_tpu.config import EnvConfig, SimFlags
-from marl_hideandseek_tpu.env import HideAndSeekEnv, observations, physics
+from marl_hideandseek_tpu.env import HideAndSeekEnv, observations
 
 
 def bench(name, fn, *args, iters=20):
@@ -46,26 +46,20 @@ def main():
     actions = jnp.full((w, cfg.max_agents, 5), 2, jnp.int32)
     actions = actions.at[..., 3:].set(0)
 
-    from marl_hideandseek_tpu.ops import pallas_physics
+    from marl_hideandseek_tpu.ops import pallas_physics, pallas_step
 
     zeros_b = jnp.zeros((w, cfg.num_dyn_bodies, 3))
-    bench("physics (batch path)", lambda b, s, g: pallas_physics.
+    bench("physics only (batch path)", lambda b, s, g: pallas_physics.
           physics_step_batch(cfg, b, s, g, zeros_b, zeros_b),
           state.bodies, state.statics, state.grab)
 
-    def act_rays(state):
-        q = jax.vmap(
-            functools.partial(observations.action_ray_queries, cfg))(state)
-        return env._raycast(state, *q)
+    if pallas_step.use_fused(cfg, state):
+        bench("fused physics+sweep kernel",
+              lambda s: pallas_step.fused_step(cfg, s, zeros_b, zeros_b),
+              state)
 
-    bench("action raycast", act_rays, state)
-
-    def rew_rays(state):
-        q = jax.vmap(
-            functools.partial(observations.reward_ray_queries, cfg))(state)
-        return env._raycast(state, *q)
-
-    bench("reward raycast", rew_rays, state)
+    bench("standalone sweep (3 launches)",
+          lambda s: env._standalone_sweep(s), state)
 
     def obs_rays(state):
         q = jax.vmap(
@@ -74,11 +68,14 @@ def main():
 
     t_obs, id_obs = bench("obs raycast", obs_rays, state)
 
-    bench("obs assembly", lambda s, i, t: jax.vmap(
-        functools.partial(observations.build_observations, cfg))(s, i, t),
-        state, id_obs, t_obs)
+    def assemble(s, i, t):
+        vis, lid = jax.vmap(
+            functools.partial(observations.consume_obs_sweep, cfg))(s, i, t)
+        return jax.vmap(
+            functools.partial(observations.build_observations, cfg)
+        )(s, vis, lid)
 
-    bench("full collect", lambda s: env._collect(s), state)
+    bench("obs consume+assembly", assemble, state, id_obs, t_obs)
 
     bench("full step", lambda s, a: env.step(s, a)[0], state, actions)
 

@@ -15,7 +15,7 @@ import pytest
 
 from marl_hideandseek_tpu.config import EnvConfig, SimFlags
 from marl_hideandseek_tpu.env import HideAndSeekEnv, observations
-from marl_hideandseek_tpu.ops import pallas_physics, pallas_rays
+from marl_hideandseek_tpu.ops import pallas_physics, pallas_rays, pallas_step
 
 W = 128  # one lane block
 # Reduced body capacity (3 boxes + 1 ramp + 2 agents): the interpreter cost
@@ -65,6 +65,49 @@ def test_physics_kernel_matches(state):
         close = np.abs(a - b) < tol
         frac = close.mean()
         assert frac > 0.995, (name, frac, np.abs(a - b).max())
+
+
+def test_fused_step_kernel_matches(state):
+    """The fused physics+sweep kernel reproduces the jnp composite: physics
+    substeps, then visibility/lidar/action/reward rays on the post-physics
+    pose (the per-step sweep contract of env.HideAndSeekEnv)."""
+    env = HideAndSeekEnv(CFG)
+    zeros = jnp.zeros((W, CFG.num_dyn_bodies, 3))
+
+    bodies_k, sweep_k = pallas_step.fused_step(
+        CFG, state, zeros, zeros, interpret=True)
+    vis_k, lid_k, act_t_k, act_id_k, rew_k = sweep_k
+
+    bodies_j = pallas_physics.physics_step_batch(
+        CFG, state.bodies, state.statics, state.grab, zeros, zeros,
+        use_pallas=False, interpret=False)
+    state_j = state.replace(bodies=bodies_j)
+    sweep_j = env._standalone_sweep(state_j)
+
+    # Physics agreement (same bars as test_physics_kernel_matches).
+    for name, tol in (("pos", 5e-3), ("quat", 5e-3), ("vel", 0.5),
+                      ("omega", 0.5)):
+        a = np.asarray(getattr(bodies_k, name))
+        b = np.asarray(getattr(bodies_j, name))
+        frac = (np.abs(a - b) < tol).mean()
+        assert frac > 0.995, (name, frac, np.abs(a - b).max())
+
+    # Sweep agreement on the kernel's own post-physics state (recompute the
+    # jnp sweep there so physics op-order noise doesn't leak in).
+    sweep_ref = env._standalone_sweep(state.replace(bodies=bodies_k))
+    vis_r = np.asarray(sweep_ref.vis_seen)
+    assert (np.asarray(vis_k) == vis_r).mean() > 0.999
+    lid_r = np.asarray(sweep_ref.lidar)
+    lid_match = np.isclose(np.asarray(lid_k), lid_r, rtol=1e-3, atol=1e-3)
+    assert lid_match.mean() > 0.999, lid_match.mean()
+    assert (np.asarray(act_id_k) == np.asarray(sweep_ref.act_id)).mean() \
+        > 0.999
+    hit = np.asarray(sweep_ref.act_id) >= 0
+    np.testing.assert_allclose(
+        np.asarray(act_t_k)[hit], np.asarray(sweep_ref.act_t)[hit],
+        rtol=1e-4, atol=1e-4)
+    assert (np.asarray(rew_k) == np.asarray(sweep_ref.rew_seen)).mean() \
+        > 0.999
 
 
 def test_physics_kernel_multi_step(state):
