@@ -79,6 +79,16 @@ class EnvConfig:
     max_ramps: int = MAX_RAMPS
     max_walls: int = MAX_WALLS
 
+    # Staggered-reset budget: when 0 < budget < num_worlds and at most
+    # `budget` worlds reset on a step, only those worlds are gathered,
+    # regenerated, and scattered back instead of regenerating the whole
+    # batch (the reference regenerates per-world inside the megakernel,
+    # src/sim.cpp:172-200; a full-batch regen made 1%-per-step reset
+    # workloads ~75x slower). Synchronized end-of-episode bursts (> budget
+    # worlds at once) still take the full-batch path. Must be a multiple
+    # of 128 so the compact re-sweep can use the Pallas raycast kernel.
+    reset_budget: int = 256
+
     # Episode structure.
     episode_len: int = EPISODE_LEN
     num_prep_steps: int = NUM_PREP_STEPS

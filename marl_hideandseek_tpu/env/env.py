@@ -408,7 +408,7 @@ class HideAndSeekEnv:
         def advance(state):
             return state.replace(step=state.step + 1)
 
-        def do_resets(state):
+        def full_resets(state):
             world_ids = jnp.arange(cfg.num_worlds, dtype=jnp.uint32)
             regen = jax.vmap(
                 lambda w, s, lv: _regen_world(cfg, base_key, w, s, lv)
@@ -420,6 +420,42 @@ class HideAndSeekEnv:
                 regen, advanced)
             # Observations must describe the post-reset worlds: re-sweep.
             return new_state, self._standalone_sweep(new_state)
+
+        def compact_resets(state):
+            """Regenerate ONLY the (<= reset_budget) resetting worlds:
+            gather them into a compact lane-aligned batch, regen + re-sweep
+            that batch, scatter back. Keeps a trickle of staggered resets
+            (e.g. the reference benchmark's reset_chance arg,
+            scripts/benchmark.py:14) from paying the full-batch generator.
+            """
+            k = cfg.reset_budget
+            w_idx = jnp.arange(cfg.num_worlds, dtype=jnp.int32)
+            # Triggered worlds in ascending order; padding entries duplicate
+            # the first triggered world (regen is deterministic per world,
+            # so duplicate scatters write identical values).
+            score = jnp.where(trigger, -w_idx.astype(jnp.float32), -jnp.inf)
+            top_score, idx = jax.lax.top_k(score, k)
+            idx = jnp.where(jnp.isfinite(top_score), idx, idx[0])
+
+            sub = jax.tree.map(lambda x: x[idx], state)
+            regen = jax.vmap(
+                lambda w, s, lv: _regen_world(cfg, base_key, w, s, lv)
+            )(idx.astype(jnp.uint32), sub, level_ids[idx])
+            sub_sweep = self._standalone_sweep(regen)
+
+            advanced = advance(state)
+            new_state = jax.tree.map(
+                lambda old, new: old.at[idx].set(new), advanced, regen)
+            new_sweep = jax.tree.map(
+                lambda old, new: old.at[idx].set(new), sweep, sub_sweep)
+            return new_state, new_sweep
+
+        def do_resets(state):
+            if 0 < cfg.reset_budget < cfg.num_worlds:
+                return jax.lax.cond(
+                    jnp.sum(trigger) <= cfg.reset_budget,
+                    compact_resets, full_resets, state)
+            return full_resets(state)
 
         def no_resets(state):
             return advance(state), sweep

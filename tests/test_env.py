@@ -133,6 +133,39 @@ def test_external_reset(env, init_state):
     assert s[1] == 0 and (s[[0, 2, 3]] == 51).all()
 
 
+def test_compact_reset_matches_full(init_state):
+    """The compact (gather/regen/scatter) staggered-reset path must produce
+    bit-identical state to the full-batch regeneration path."""
+    cfg_compact = CFG.replace(reset_budget=2)
+    cfg_full = CFG.replace(reset_budget=0)
+    env_c = HideAndSeekEnv(cfg_compact)
+    env_f = HideAndSeekEnv(cfg_full)
+
+    state, _ = init_state
+    actions = jnp.full((W, A, 5), 2, jnp.int32).at[..., 3:].set(0)
+    state = state.replace(step=jnp.full((W,), 50, jnp.int32))
+    resets = jnp.zeros((W,), jnp.int32).at[1].set(1).at[3].set(2)
+
+    sc, rc = jax.jit(env_c.step)(state, actions, resets)
+    sf, rf = jax.jit(env_f.step)(state, actions, resets)
+    for a, b in zip(jax.tree_util.tree_leaves(sc),
+                    jax.tree_util.tree_leaves(sf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(rc),
+                    jax.tree_util.tree_leaves(rf)):
+        # The compact path re-sweeps the regenerated worlds in a K-sized
+        # batch; XLA codegen for the different batch shape may round
+        # differently in the last ulp.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # Over-budget burst (all 4 worlds) falls back to the full path.
+    resets_all = jnp.full((W,), 1, jnp.int32)
+    sc2, _ = jax.jit(env_c.step)(state, actions, resets_all)
+    sf2, _ = jax.jit(env_f.step)(state, actions, resets_all)
+    for a, b in zip(jax.tree_util.tree_leaves(sc2),
+                    jax.tree_util.tree_leaves(sf2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_determinism(env):
     s1, r1 = jax.jit(env.init)(jax.random.PRNGKey(5))
     s2, r2 = jax.jit(env.init)(jax.random.PRNGKey(5))
