@@ -37,43 +37,56 @@ def main():
         sim_flags=SimFlags.ZeroAgentVelocity | SimFlags.RandomFlipTeams,
         rand_seed=5,
     )
-    env = HideAndSeekEnv(cfg)
+    # The benchmark drives the worlds-minor packed step (env/packed.py):
+    # same semantics as HideAndSeekEnv.step (equivalence pinned by
+    # tests/test_packed.py), laid out for the TPU hot loop.
+    from marl_hideandseek_tpu.env.packed import PackedEnv
+
+    env = PackedEnv(cfg)
     key = jax.random.PRNGKey(cfg.rand_seed)
 
     state, _ = jax.jit(env.init)(key)
 
     n_move = 5 if cfg.zero_agent_velocity else 11
 
+    state0, result0 = jax.jit(lambda s: env.step(
+        s, jnp.zeros((cfg.max_agents, 5, cfg.num_worlds), jnp.int32)))(
+            state)
+
     @jax.jit
-    def run_chunk(state, base):
-        def body(i, state):
+    def run_chunk(carry, base):
+        # The step RESULT rides the loop carry so the observation tensors
+        # are materialized every iteration (the reference benchmark's step
+        # writes all exported obs tensors each step, benchmark.py:75) —
+        # without this XLA dead-code-eliminates the obs assembly.
+        def body(i, carry):
+            state, _ = carry
             k = jax.random.fold_in(key, base + i)
             k1, k2 = jax.random.split(k)
             move = jax.random.randint(
-                k1, (cfg.num_worlds, cfg.max_agents, 3), 0, n_move)
+                k1, (cfg.max_agents, 3, cfg.num_worlds), 0, n_move)
             gl = jax.random.randint(
-                k2, (cfg.num_worlds, cfg.max_agents, 2), 0, 2)
-            actions = jnp.concatenate([move, gl], axis=-1)
-            state, _ = env.step(state, actions)
-            return state
+                k2, (cfg.max_agents, 2, cfg.num_worlds), 0, 2)
+            actions = jnp.concatenate([move, gl], axis=1)
+            return env.step(state, actions)
 
-        return jax.lax.fori_loop(0, CHUNK, body, state)
+        return jax.lax.fori_loop(0, CHUNK, body, carry)
 
     # Warmup/compile. Two rounds: the first chunk's output state can carry
     # different XLA layouts than init's output (the Pallas physics kernel
     # constrains operand layouts), and jit respecializes on the new
     # layouts — the second call absorbs that recompile so the timed loop
     # measures steady state.
-    state = run_chunk(state, 0)
-    jax.block_until_ready(state)
-    state = run_chunk(state, CHUNK)
-    jax.block_until_ready(state)
+    carry = run_chunk((state0, result0), 0)
+    jax.block_until_ready(carry)
+    carry = run_chunk(carry, CHUNK)
+    jax.block_until_ready(carry)
 
     n_chunks = max(NUM_STEPS // CHUNK, 1)
     start = time.perf_counter()
     for c in range(n_chunks):
-        state = run_chunk(state, (c + 1) * CHUNK)
-    jax.block_until_ready(state)
+        carry = run_chunk(carry, (c + 1) * CHUNK)
+    jax.block_until_ready(carry)
     elapsed = time.perf_counter() - start
 
     total_steps = n_chunks * CHUNK * NUM_WORLDS

@@ -403,6 +403,20 @@ class HideAndSeekEnv:
         if not cfg.ignore_episode_length:
             auto = state.step == cfg.episode_len - 1
         trigger = (resets != 0) | auto
+
+        state, sweep = self._apply_resets(
+            state, sweep, trigger, resets, base_key)
+
+        state = state.replace(act_hit_t=sweep.act_t, act_hit_id=sweep.act_id)
+        result = self._assemble(state, sweep, rewards, dones)
+        return state, result
+
+    def _apply_resets(self, state: EnvState, sweep: SweepResults, trigger,
+                      resets, base_key):
+        """Advance the step counter and regenerate triggered worlds
+        (conditional at batch level; shared by the classic and packed
+        paths). Returns (state, sweep) describing the post-reset worlds."""
+        cfg = self.cfg
         level_ids = jnp.where(resets != 0, resets, 1).astype(jnp.int32)
 
         def advance(state):
@@ -460,12 +474,8 @@ class HideAndSeekEnv:
         def no_resets(state):
             return advance(state), sweep
 
-        state, sweep = jax.lax.cond(
+        return jax.lax.cond(
             jnp.any(trigger), do_resets, no_resets, state)
-
-        state = state.replace(act_hit_t=sweep.act_t, act_hit_id=sweep.act_id)
-        result = self._assemble(state, sweep, rewards, dones)
-        return state, result
 
     # -- sweep machinery ----------------------------------------------------
 

@@ -411,6 +411,48 @@ def _fused_pallas(cfg: EnvConfig, interpret: bool, n_wall: int,
     )(*args)
 
 
+def fused_step_packed(cfg: EnvConfig, ps, ext_force, ext_torque,
+                      interpret: bool = False):
+    """Fused step on worlds-minor ("packed") state: zero transposes.
+
+    ps: EnvState with every leaf's world axis LAST (env/packed.py);
+    ext_force/ext_torque [B, 3, W]. Returns (bodies', SweepResults) in the
+    same packed layout (vis [A, T, W], lidar [A, 30, W], act_t/act_id
+    [A, W], rew_seen [W] bool).
+    """
+    from marl_hideandseek_tpu.env.env import SweepResults
+
+    bodies, statics, grab = ps.bodies, ps.statics, ps.grab
+    dynamic = bodies.active & ~bodies.locked
+    eff_inv_m = jnp.where(dynamic, bodies.inv_mass, 0.0)
+    eff_inv_I = jnp.where(dynamic[:, None], bodies.inv_inertia, 0.0)
+
+    f32 = lambda x: x.astype(jnp.float32)
+    args = (
+        f32(bodies.pos), f32(bodies.quat), f32(bodies.vel),
+        f32(bodies.omega),
+        f32(eff_inv_m), f32(eff_inv_I),
+        f32(dynamic), f32(bodies.active),
+        f32(bodies.half_ext), f32(bodies.friction_mu),
+        f32(ext_force), f32(ext_torque),
+        f32(statics.wall_pos), f32(statics.wall_half_ext),
+        f32(statics.wall_active),
+        f32(statics.plane_point), f32(statics.plane_normal),
+        f32(statics.plane_active),
+        f32(grab.target), f32(grab.r2), f32(grab.rel_q), f32(grab.sep),
+        f32(ps.agent_type), f32(ps.agent_active),
+        f32(ps.num_active_boxes)[None], f32(ps.num_active_ramps)[None],
+    )
+    (pos, quat, vel, omega, vis, lid, act_t, act_id, rew) = _fused_pallas(
+        cfg, interpret, statics.wall_pos.shape[0],
+        statics.plane_point.shape[0], *args)
+
+    new_bodies = bodies.replace(pos=pos, quat=quat, vel=vel, omega=omega)
+    return new_bodies, SweepResults(
+        vis_seen=vis, lidar=lid, act_t=act_t,
+        act_id=act_id.astype(jnp.int32), rew_seen=rew[0] > 0.5)
+
+
 def use_fused(cfg: EnvConfig, state) -> bool:
     """Fused kernel eligibility (TPU + lane-aligned world count)."""
     n_worlds = state.step.shape[0]

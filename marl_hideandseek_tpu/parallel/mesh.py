@@ -49,8 +49,11 @@ def _spec_for(path: str, leaf) -> P:
         if leaf.ndim >= 2:
             return P(None, "data")
         return P()
-    if "rollout" in path and ("env_state" in path or "obs" in path or
-                              "assignments" in path or "key" in path):
+    if "rollout" in path and "env_state" in path:
+        # Packed env state (env/packed.py): the worlds axis is LAST.
+        return P(*([None] * (leaf.ndim - 1) + ["data"]))
+    if "rollout" in path and ("obs" in path or "assignments" in path or
+                              "key" in path):
         if "key" in path:
             return P()
         return P("data")

@@ -40,16 +40,33 @@ DEFAULT_ACTION_BUCKETS = (5, 5, 5, 2, 2)  # reference: jax_train.py:147
 
 def split_obs(obs):
     """Group the 11 named tensors into self + entity-class groups with
-    visibility masking applied to entity rows."""
+    visibility masking applied to entity rows.
+
+    Accepts either the reference-shaped entity tensors (box_data
+    [..., 9, 17] + vis_boxes_mask [..., 9, 1]) or the flat-feature layout
+    the packed env emits (box_data [..., 153] + vis mask [..., 9];
+    env/packed.py) — flat tensors are reshaped here, inside the policy's
+    program, where XLA fuses the reshape into the entity embedding instead
+    of materializing the padded [..., E, F] layout.
+    """
     self_ob = jnp.concatenate([
         obs["prep_counter"],
         obs["self_data"],
         obs["self_type"],
         obs["self_lidar"],
     ], axis=-1)
-    agents = obs["agent_data"] * obs["vis_agents_mask"]
-    boxes = obs["box_data"] * obs["vis_boxes_mask"]
-    ramps = obs["ramp_data"] * obs["vis_ramps_mask"]
+
+    def entity(data, mask, n_entities):
+        if mask.ndim == data.ndim and mask.shape[-1] == 1:
+            # Reference layout: data [..., E, F], mask [..., E, 1].
+            return data * mask
+        # Flat layout: data [..., E*F], mask [..., E].
+        data = data.reshape(*data.shape[:-1], n_entities, -1)
+        return data * mask[..., None]
+
+    agents = entity(obs["agent_data"], obs["vis_agents_mask"], 5)
+    boxes = entity(obs["box_data"], obs["vis_boxes_mask"], 9)
+    ramps = entity(obs["ramp_data"], obs["vis_ramps_mask"], 2)
     return {"self": self_ob, "agents": agents, "boxes": boxes,
             "ramps": ramps}
 

@@ -204,6 +204,7 @@ class TrainingManager:
             "value_loss": jnp.mean(ppo_metrics["value_loss"]),
             "entropy": jnp.mean(ppo_metrics["entropy"]),
             "mean_reward": roll_metrics["mean_reward"],
+            "hidden_frac": roll_metrics["hidden_frac"],
         }
         new_state = TrainingState(
             params=params,
@@ -324,11 +325,16 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
     if profile_port is not None:
         jax.profiler.start_server(profile_port)
 
+    from marl_hideandseek_tpu.env.packed import PackedEnv
+
     env: HideAndSeekEnv = env_or_fns
     key = jax.random.PRNGKey(cfg.seed)
     k_env, k_param, k_roll, k_hyper, k_state = jax.random.split(key, 5)
 
-    env_state, result = jax.jit(env.init)(k_env)
+    # The rollout drives the worlds-minor packed env (env/packed.py);
+    # init through it so the carried env_state has the packed layout.
+    penv = PackedEnv(env.cfg)
+    env_state, result = jax.jit(penv.init)(k_env)
     norm = policy.obs_preprocess
     n_agents = env.cfg.num_worlds * env.cfg.max_agents
     # Policy batch axis = flattened worlds x agents.
@@ -368,7 +374,7 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
     metrics = {
         k: jnp.zeros((cfg.metrics_buffer_size,))
         for k in ("loss", "action_loss", "value_loss", "entropy",
-                  "mean_reward")
+                  "mean_reward", "hidden_frac")
     }
 
     state = TrainingState(

@@ -30,9 +30,13 @@ class _JsonlBackend:
 class TensorboardWriter:
     """TensorBoard scalar writer; JSONL fallback when unavailable."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, force_jsonl: bool = False):
         self.log_dir = log_dir
         self._backend = None
+        if force_jsonl or os.environ.get("MHS_METRICS_JSONL"):
+            self._backend = _JsonlBackend(log_dir)
+            self._mode = "jsonl"
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 

@@ -28,7 +28,13 @@ from marl_hideandseek_tpu.train.cfg import TrainConfig
 
 @struct.dataclass
 class RolloutState:
-    """Carried actor state between updates."""
+    """Carried actor state between updates.
+
+    env_state is in the PACKED worlds-minor layout (env/packed.py) — the
+    rollout drives PackedEnv so the per-step env work runs transpose-free
+    on TPU; obs are the flat-feature dict flattened to the [N = W*A]
+    policy batch axis.
+    """
 
     env_state: Any
     obs: Any                   # prepped (pre-normalization) current obs
@@ -150,12 +156,15 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
     normalizer (plain critic only) — stored values/bootstraps are
     denormalized so GAE runs in true-return space.
     """
+    from marl_hideandseek_tpu.env.packed import PackedEnv
+
     num_worlds = env.cfg.num_worlds
     a_per_w = env.cfg.max_agents
     n_agents = num_worlds * a_per_w
     t_per_chunk = cfg.steps_per_update // cfg.num_bptt_chunks
     n_total_policies = cfg.total_policies
     norm = policy.obs_preprocess
+    penv = PackedEnv(env.cfg)
 
     def flat(x):
         return x.reshape((n_agents,) + x.shape[2:])
@@ -175,18 +184,27 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         actions = dists.sample(k_act)
         log_probs = dists.log_prob(actions)
 
-        env_state, result = env.step(
-            env_state, actions.reshape(num_worlds, a_per_w, -1))
+        actions_packed = jnp.moveaxis(
+            actions.reshape(num_worlds, a_per_w, -1), 0, -1)
+        env_state, result = penv.step(env_state, actions_packed)
         # Flatten worlds x agents into the policy batch axis.
         next_obs = jax.tree.map(flat, norm.prep(result.obs))
 
-        dones = flat(result.dones)[..., 0].astype(bool)
-        rewards = flat(result.rewards)[..., 0]
+        dones = result.dones.T.reshape(-1).astype(bool)     # [A,W] -> [N]
+        rewards = result.rewards.T.reshape(-1)
 
         new_rnn = policy.actor_critic.clear_recurrent_state(new_rnn, dones)
-        dones_w = result.dones[:, 0, 0].astype(bool)
+        dones_w = result.dones[0].astype(bool)              # [W]
         new_assign = _resample_assignments(
             k_assign, dones_w, assignments, cfg, num_worlds, a_per_w)
+
+        # Domain learning signal: fraction of seek-phase world-steps where
+        # the hiders are hidden (hider_team_reward > 0; reference semantics
+        # src/sim.cpp:763-804). Robust to RandomFlipTeams, unlike slicing
+        # reward rows by slot.
+        from marl_hideandseek_tpu.config import NUM_PREP_STEPS
+        in_seek = (env_state.step >= NUM_PREP_STEPS).astype(jnp.float32)
+        hidden = (env_state.hider_team_reward > 0.0).astype(jnp.float32)
 
         store = {
             "obs": obs,
@@ -196,8 +214,10 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
             "rewards": rewards,
             "dones": dones,
             "assignments": assignments,
-            "episode_results": result.episode_results,
+            "episode_results": result.episode_results.T,   # [W, 2]
             "dones_w": dones_w,
+            "seek_steps": jnp.sum(in_seek),
+            "hidden_steps": jnp.sum(hidden * in_seek),
         }
         return (env_state, next_obs, new_rnn, new_assign), store
 
@@ -242,6 +262,8 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         "episode_results": chunks["episode_results"],
         "dones_w": chunks["dones_w"],
         "mean_reward": jnp.mean(chunks["rewards"]),
+        "hidden_frac": (jnp.sum(chunks["hidden_steps"]) /
+                        jnp.maximum(jnp.sum(chunks["seek_steps"]), 1.0)),
     }
     new_rollout = RolloutState(
         env_state=env_state, obs=final_obs, rnn_states=final_rnn,
