@@ -1,52 +1,55 @@
-"""Throughput benchmark: env-steps/s at the benchmark-parity config.
+"""Throughput benchmark: env-steps/s on the packed (worlds-minor) step.
 
 Mirrors the reference GPU benchmark protocol (scripts/benchmark.py: 16K
-worlds, 2 hiders + 2 seekers, random actions, steps x worlds / elapsed)
-minus the batch renderer (no TPU analogue; see SURVEY.md §2.4 E11).
+worlds, 2 hiders + 2 seekers, random actions, optional per-step random
+resets, steps x worlds / elapsed) minus the batch renderer (no TPU
+analogue; see SURVEY.md §2.4 E11). The step RESULT rides the measurement
+loop's carry so all observation tensors are materialized every step, like
+the reference benchmark's per-step tensor exports (benchmark.py:75) —
+without that XLA dead-code-eliminates the obs assembly and the number
+flatters itself.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 10M env-steps/s (the BASELINE.json north-star target).
+Run directly it prints ONE JSON line {"metric", "value", "unit",
+"vs_baseline"} (vs_baseline = value / 10M env-steps/s, the BASELINE.json
+north star). `scripts/benchmark.py` is the positional-arg CLI over the
+same engine (reference: scripts/benchmark.py NUM_WORLDS NUM_STEPS ENT
+RESET_CHANCE).
 
-Env overrides: BENCH_WORLDS, BENCH_STEPS, BENCH_CHUNK.
+Env overrides: BENCH_WORLDS, BENCH_STEPS, BENCH_CHUNK, BENCH_RESET_CHANCE.
 """
 
 import json
 import os
 import time
 
-import jax
-import jax.numpy as jnp
-
-from marl_hideandseek_tpu.config import EnvConfig, SimFlags
-from marl_hideandseek_tpu.env import HideAndSeekEnv
 from marl_hideandseek_tpu.utils.runtime import enable_compilation_cache
 
 enable_compilation_cache()
 
+import jax
+import jax.numpy as jnp
+
+from marl_hideandseek_tpu.config import EnvConfig, SimFlags
+from marl_hideandseek_tpu.env.packed import PackedEnv
+
 NORTH_STAR = 10_000_000.0
 
-NUM_WORLDS = int(os.environ.get("BENCH_WORLDS", 16384))
-NUM_STEPS = int(os.environ.get("BENCH_STEPS", 240))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 40))
 
-
-def main():
+def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
+              num_seekers: int = 2, reset_chance: float = 0.0,
+              chunk: int = 40, rand_seed: int = 5) -> float:
+    """Run the benchmark; returns steady-state env-steps/s."""
     cfg = EnvConfig(
-        num_worlds=NUM_WORLDS,
-        min_hiders=2, max_hiders=2, min_seekers=2, max_seekers=2,
+        num_worlds=num_worlds,
+        min_hiders=num_hiders, max_hiders=num_hiders,
+        min_seekers=num_seekers, max_seekers=num_seekers,
         sim_flags=SimFlags.ZeroAgentVelocity | SimFlags.RandomFlipTeams,
-        rand_seed=5,
+        rand_seed=rand_seed,
     )
-    # The benchmark drives the worlds-minor packed step (env/packed.py):
-    # same semantics as HideAndSeekEnv.step (equivalence pinned by
-    # tests/test_packed.py), laid out for the TPU hot loop.
-    from marl_hideandseek_tpu.env.packed import PackedEnv
-
     env = PackedEnv(cfg)
     key = jax.random.PRNGKey(cfg.rand_seed)
 
     state, _ = jax.jit(env.init)(key)
-
     n_move = 5 if cfg.zero_agent_velocity else 11
 
     state0, result0 = jax.jit(lambda s: env.step(
@@ -55,45 +58,56 @@ def main():
 
     @jax.jit
     def run_chunk(carry, base):
-        # The step RESULT rides the loop carry so the observation tensors
-        # are materialized every iteration (the reference benchmark's step
-        # writes all exported obs tensors each step, benchmark.py:75) —
-        # without this XLA dead-code-eliminates the obs assembly.
         def body(i, carry):
             state, _ = carry
             k = jax.random.fold_in(key, base + i)
-            k1, k2 = jax.random.split(k)
+            k1, k2, k3 = jax.random.split(k, 3)
             move = jax.random.randint(
                 k1, (cfg.max_agents, 3, cfg.num_worlds), 0, n_move)
             gl = jax.random.randint(
                 k2, (cfg.max_agents, 2, cfg.num_worlds), 0, 2)
             actions = jnp.concatenate([move, gl], axis=1)
-            return env.step(state, actions)
+            if reset_chance > 0.0:
+                # Per-step random resets (reference: benchmark.py:14,31
+                # RESET_CHANCE) — exercises the staggered-reset path.
+                r = jax.random.uniform(k3, (cfg.num_worlds,))
+                resets = (r < reset_chance).astype(jnp.int32)
+            else:
+                resets = None
+            return env.step(state, actions, resets)
 
-        return jax.lax.fori_loop(0, CHUNK, body, carry)
+        return jax.lax.fori_loop(0, chunk, body, carry)
 
     # Warmup/compile. Two rounds: the first chunk's output state can carry
-    # different XLA layouts than init's output (the Pallas physics kernel
-    # constrains operand layouts), and jit respecializes on the new
-    # layouts — the second call absorbs that recompile so the timed loop
-    # measures steady state.
+    # different XLA layouts than init's output and jit respecializes; the
+    # second call absorbs that recompile so the timed loop measures steady
+    # state.
     carry = run_chunk((state0, result0), 0)
     jax.block_until_ready(carry)
-    carry = run_chunk(carry, CHUNK)
+    carry = run_chunk(carry, chunk)
     jax.block_until_ready(carry)
 
-    n_chunks = max(NUM_STEPS // CHUNK, 1)
+    n_chunks = max(num_steps // chunk, 1)
     start = time.perf_counter()
     for c in range(n_chunks):
-        carry = run_chunk(carry, (c + 1) * CHUNK)
+        carry = run_chunk(carry, (c + 1) * chunk)
     jax.block_until_ready(carry)
     elapsed = time.perf_counter() - start
 
-    total_steps = n_chunks * CHUNK * NUM_WORLDS
-    steps_per_sec = total_steps / elapsed
+    return n_chunks * chunk * num_worlds / elapsed
 
+
+def main():
+    num_worlds = int(os.environ.get("BENCH_WORLDS", 16384))
+    num_steps = int(os.environ.get("BENCH_STEPS", 240))
+    chunk = int(os.environ.get("BENCH_CHUNK", 40))
+    reset_chance = float(os.environ.get("BENCH_RESET_CHANCE", 0.0))
+
+    steps_per_sec = bench_run(num_worlds, num_steps,
+                              reset_chance=reset_chance, chunk=chunk)
+    suffix = f"_reset{reset_chance}" if reset_chance else ""
     print(json.dumps({
-        "metric": f"env_steps_per_sec_{NUM_WORLDS}worlds_2v2",
+        "metric": f"env_steps_per_sec_{num_worlds}worlds_2v2{suffix}",
         "value": round(steps_per_sec, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / NORTH_STAR, 4),

@@ -152,6 +152,25 @@ def _make_kernel(cfg: EnvConfig, n_rays: int):
             t_best, id_best = update(t, b, act, t_best, id_best)
 
         # ---- walls (axis-aligned boxes) ------------------------------
+        # Wall passes all share the ray dirs: hoist the 3 slab
+        # reciprocals out of the loop (divides are multi-cycle on the
+        # VPU). Semantics identical to _slab_t.
+        small_x = jnp.abs(dx) < _EPS
+        small_y = jnp.abs(dy) < _EPS
+        small_z = jnp.abs(dz) < _EPS
+        inv_dx = 1.0 / jnp.where(small_x, _EPS, dx)
+        inv_dy = 1.0 / jnp.where(small_y, _EPS, dy)
+        inv_dz = 1.0 / jnp.where(small_z, _EPS, dz)
+
+        def wall_axis(o, h, inv_d, small):
+            t1 = (-h - o) * inv_d
+            t2 = (h - o) * inv_d
+            near = jnp.minimum(t1, t2)
+            far = jnp.maximum(t1, t2)
+            outside = small & (jnp.abs(o) > h)
+            return (jnp.where(outside, _BIG, near),
+                    jnp.where(outside, -_BIG, far))
+
         for w in range(n_wall):
             px = wpos_ref[w, 0][None]
             py = wpos_ref[w, 1][None]
@@ -160,7 +179,13 @@ def _make_kernel(cfg: EnvConfig, n_rays: int):
             hy = whalf_ref[w, 1][None]
             hz = whalf_ref[w, 2][None]
             act = wact_ref[w][None] > 0.5
-            t = _slab_t(ox - px, oy - py, oz - pz, dx, dy, dz, hx, hy, hz)
+            n1, f1 = wall_axis(ox - px, hx, inv_dx, small_x)
+            n2, f2 = wall_axis(oy - py, hy, inv_dy, small_y)
+            n3, f3 = wall_axis(oz - pz, hz, inv_dz, small_z)
+            tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+            tmax = jnp.minimum(jnp.minimum(f1, f2), f3)
+            hit = (tmax >= tmin) & (tmin > _EPS)
+            t = jnp.where(hit, tmin, _BIG)
             t_best, id_best = update(t, n_body + w, act, t_best, id_best)
 
         # ---- planes (one-sided) --------------------------------------

@@ -227,6 +227,26 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
                                      agent_lo <= b < agent_hi,
                                      t_best, id_best)
 
+        # Walls are axis-aligned, so every wall pass shares the same ray
+        # dirs: hoist the 3 slab reciprocals out of the 36-wall loop
+        # (divides are multi-cycle on the VPU; this replaces ~108 divides
+        # per row-set with 3). Semantics identical to _slab_t.
+        small_x = jnp.abs(dx) < _EPS
+        small_y = jnp.abs(dy) < _EPS
+        small_z = jnp.abs(dz) < _EPS
+        inv_dx = 1.0 / jnp.where(small_x, _EPS, dx)
+        inv_dy = 1.0 / jnp.where(small_y, _EPS, dy)
+        inv_dz = 1.0 / jnp.where(small_z, _EPS, dz)
+
+        def wall_axis(o, h, inv_d, small):
+            t1 = (-h - o) * inv_d
+            t2 = (h - o) * inv_d
+            near = jnp.minimum(t1, t2)
+            far = jnp.maximum(t1, t2)
+            outside = small & (jnp.abs(o) > h)
+            return (jnp.where(outside, _BIG, near),
+                    jnp.where(outside, -_BIG, far))
+
         for w in range(n_wall):
             pwx = wp_ref[w, 0][None]
             pwy = wp_ref[w, 1][None]
@@ -235,7 +255,13 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
             hy = wh2_ref[w, 1][None]
             hz = wh2_ref[w, 2][None]
             act = wa_ref[w][None] > 0.5
-            t = _slab_t(ox - pwx, oy - pwy, oz - pwz, dx, dy, dz, hx, hy, hz)
+            n1, f1 = wall_axis(ox - pwx, hx, inv_dx, small_x)
+            n2, f2 = wall_axis(oy - pwy, hy, inv_dy, small_y)
+            n3, f3 = wall_axis(oz - pwz, hz, inv_dz, small_z)
+            tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+            tmax = jnp.minimum(jnp.minimum(f1, f2), f3)
+            hit = (tmax >= tmin) & (tmin > _EPS)
+            t = jnp.where(hit, tmin, _BIG)
             t_best, id_best = update(t, n_body + w, act, False,
                                      t_best, id_best)
 

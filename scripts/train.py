@@ -77,6 +77,14 @@ def parse_args():
                         "(run one process per host of the pod slice)")
     p.add_argument("--compilation-cache", type=str, default=None,
                    help="persistent XLA compilation cache dir")
+    p.add_argument("--io-callback-metrics", action="store_true",
+                   help="log metrics via an ordered io_callback inside the "
+                        "compiled loop (the reference's scheme, "
+                        "jax_train.py:236-237). Off by default: some "
+                        "backends (e.g. tunneled TPU) hang compiling "
+                        "programs that contain host callbacks; the default "
+                        "reads the device-side metric ring buffer between "
+                        "AOT blocks, which observes the identical data.")
     return p.parse_args()
 
 
@@ -209,12 +217,18 @@ def main():
             tb_writer.scalar(f"train/{k}", float(v[-1]), update_id)
         return ()
 
+    assert args.eval_frequency % 10 == 0
+
+    def inner(i, m):
+        return m.update_iter()
+
+    def update_block(mgr):
+        """10 fused updates, no host exits."""
+        return lax.fori_loop(0, 10, inner, mgr)
+
     def update_loop(mgr):
-        assert args.eval_frequency % 10 == 0
-
-        def inner(i, m):
-            return m.update_iter()
-
+        """eval_frequency updates with in-loop io_callback logging
+        (reference scheme, jax_train.py:230-241)."""
         def outer(i, m):
             m = lax.fori_loop(0, 10, inner, m)
             jax.experimental.io_callback(
@@ -229,20 +243,38 @@ def main():
     def eval_elo_fn(mgr):
         return mhs_train.eval_elo(mgr)
 
-    update_loop_c = aot_compile(update_loop, mgr)
+    print("compiling update loop...", flush=True)
+    if args.io_callback_metrics:
+        loop_c = aot_compile(update_loop, mgr)
+        blocks_per_outer = 1
+    else:
+        loop_c = aot_compile(update_block, mgr)
+        blocks_per_outer = args.eval_frequency // 10
     eval_elo_c = aot_compile(eval_elo_fn, mgr)
+    print("compiled", flush=True)
 
     n_outer = ((args.num_updates - int(mgr.update_idx)) //
                args.eval_frequency)
     last["time"] = time()
     try:
         for _ in range(n_outer):
-            err, mgr = update_loop_c(mgr)
-            err.throw()
+            for _ in range(blocks_per_outer):
+                err, mgr = loop_c(mgr)
+                err.throw()
+                if not args.io_callback_metrics:
+                    # The ring buffer holds exactly the last 10 updates =
+                    # one block: host-side reads observe the same data the
+                    # in-loop callback would.
+                    st = mgr.state
+                    _log_metrics_host_cb(
+                        st.update_idx, st.metrics,
+                        st.hyper_params["lr"],
+                        st.hyper_params["entropy_coef"], st.elo)
             err, mgr = eval_elo_c(mgr)
             err.throw()
             print(mgr.state.elo)
             mgr.save_ckpt(os.path.join(args.ckpt_dir, args.run_name))
+            tb_writer.flush()
     finally:
         tb_writer.flush()
     stop_training(mgr)
