@@ -212,6 +212,34 @@ def generate_training_world(cfg: EnvConfig, level_key, ep_key,
 
     `num_hiders`/`num_seekers`/`seekers_first` are drawn by the caller from
     the episode RNG (reference: src/sim.cpp:187-190, src/level_gen.cpp:234).
+
+    Draw-for-draw diff against the reference generator (each draw below
+    verified against src/level_gen.cpp:84-308; VERDICT.md round-1 weak
+    item 8):
+
+      * total boxes: sampleI32(3, 10) = U[3, 9]            (:84)  == ours
+      * elongated:   sampleI32(3, total) = U[3, total-1], degenerating to
+        3 when total == 3 (madrona sampleI32(a, a) == a)   (:88)  == ours
+        (3 + U[0, max(total-3, 1))); elongated are placed/indexed FIRST,
+        cubes after (:125, :186), matching the slot<num_elongated rule.
+      * placement: pos uniform [-18, 18]^2 at z=1, yaw uniform [0, pi),
+        rotated-AABB overlap vs walls + previously placed entities,
+        forced accept after 20 rejections (:123-156). Ours draws the 21
+        candidates from independent subkeys instead of one sequential
+        stream and takes the first acceptable — identical acceptance rule
+        and distribution, different bit-stream (structural RNG parity,
+        SURVEY.md §2.4 E7).
+      * ramps: always maxRamps=2, same placement loop     (:201-230)
+      * seekers_first: the reference draws it from the EPISODE RNG stream
+        unconditionally and forces false when RandomFlipTeams is unset
+        (:234-239, burning the draw); our episode draws use independent
+        fold_in keys, so the no-flip case simply skips the draw — no
+        stream to keep aligned (intentional divergence; the explicit
+        level/episode keys in checkpoints replace the reference's
+        RNG-burn replay hack, src/sim.cpp:976-980).
+      * team order: team 0 placed fully before team 1, agents checked
+        against obstacles but NOT added to the overlap set (:265-292).
+      * ground plane appended last (:294), numObstacles excludes agents.
     """
     state = empty_world(cfg)
     (box_lo, _), (ramp_lo, _), (agent_lo, _) = body_slot_ranges(cfg)
