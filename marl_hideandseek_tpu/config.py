@@ -106,6 +106,14 @@ class EnvConfig:
             raise ValueError("min_hiders > max_hiders")
         if self.min_seekers > self.max_seekers:
             raise ValueError("min_seekers > max_seekers")
+        # Values >= 128 must be lane-aligned so the compact re-sweep can
+        # run the Pallas raycast kernel; smaller values stay allowed for
+        # CPU tests (and 0 disables the compact path entirely).
+        if self.reset_budget >= 128 and self.reset_budget % 128 != 0:
+            raise ValueError(
+                f"reset_budget must be a multiple of 128 (TPU lane width) "
+                f"when >= 128; got {self.reset_budget}"
+            )
 
     # ---- derived static quantities -------------------------------------
 

@@ -446,10 +446,12 @@ class HideAndSeekEnv:
             w_idx = jnp.arange(cfg.num_worlds, dtype=jnp.int32)
             # Triggered worlds in ascending order; padding entries duplicate
             # the first triggered world (regen is deterministic per world,
-            # so duplicate scatters write identical values).
-            score = jnp.where(trigger, -w_idx.astype(jnp.float32), -jnp.inf)
+            # so duplicate scatters write identical values). int32 scores:
+            # float32 would collide world indices above 2^24.
+            score = jnp.where(trigger, cfg.num_worlds - w_idx,
+                              jnp.int32(0))
             top_score, idx = jax.lax.top_k(score, k)
-            idx = jnp.where(jnp.isfinite(top_score), idx, idx[0])
+            idx = jnp.where(top_score > 0, idx, idx[0])
 
             sub = jax.tree.map(lambda x: x[idx], state)
             regen = jax.vmap(

@@ -91,6 +91,10 @@ class PackedStepResult(NamedTuple):
     rewards: jnp.ndarray           # [A, W] f32
     dones: jnp.ndarray             # [A, W] i32
     episode_results: jnp.ndarray   # [2, W] f32
+    # Hider-team reward of THIS transition, captured before any reset
+    # regeneration overwrites the state copy (+1 hidden / -1 seen;
+    # reference: src/sim.cpp:763-804). Zero only from init().
+    team_reward: jnp.ndarray = None  # [W] f32
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +571,7 @@ class PackedEnv:
 
         ps, sweep = jax.lax.cond(jnp.any(trigger), do_resets, no_resets, ps)
         ps = ps.replace(act_hit_t=sweep.act_t, act_hit_id=sweep.act_id)
-        return ps, self._result(ps, sweep, rewards, dones)
+        return ps, self._result(ps, sweep, rewards, dones, team_r)
 
     # -- internals ---------------------------------------------------------
 
@@ -602,8 +606,8 @@ class PackedEnv:
             rew_seen=wm.rew_seen,
         )
 
-    def _result(self, ps, sweep: SweepResults, rewards, dones
-                ) -> PackedStepResult:
+    def _result(self, ps, sweep: SweepResults, rewards, dones,
+                team_r=None) -> PackedStepResult:
         cfg = self.cfg
         w = ps.step.shape[0]
         obs = build_observations_packed(cfg, ps, sweep.vis_seen,
@@ -612,6 +616,9 @@ class PackedEnv:
             rewards = jnp.zeros((cfg.max_agents, w))
         if dones is None:
             dones = jnp.zeros((cfg.max_agents, w), jnp.int32)
+        if team_r is None:
+            team_r = jnp.zeros((w,))
         return PackedStepResult(
             obs=obs, rewards=rewards, dones=dones,
-            episode_results=ps.finished_scores)
+            episode_results=ps.finished_scores,
+            team_reward=team_r)

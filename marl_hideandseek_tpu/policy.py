@@ -56,17 +56,19 @@ def split_obs(obs):
         obs["self_lidar"],
     ], axis=-1)
 
-    def entity(data, mask, n_entities):
+    def entity(data, mask):
         if mask.ndim == data.ndim and mask.shape[-1] == 1:
             # Reference layout: data [..., E, F], mask [..., E, 1].
             return data * mask
-        # Flat layout: data [..., E*F], mask [..., E].
-        data = data.reshape(*data.shape[:-1], n_entities, -1)
+        # Flat layout: data [..., E*F], mask [..., E]. The entity count
+        # comes from the mask so non-default max_boxes/max_ramps configs
+        # reshape correctly.
+        data = data.reshape(*data.shape[:-1], mask.shape[-1], -1)
         return data * mask[..., None]
 
-    agents = entity(obs["agent_data"], obs["vis_agents_mask"], 5)
-    boxes = entity(obs["box_data"], obs["vis_boxes_mask"], 9)
-    ramps = entity(obs["ramp_data"], obs["vis_ramps_mask"], 2)
+    agents = entity(obs["agent_data"], obs["vis_agents_mask"])
+    boxes = entity(obs["box_data"], obs["vis_boxes_mask"])
+    ramps = entity(obs["ramp_data"], obs["vis_ramps_mask"])
     return {"self": self_ob, "agents": agents, "boxes": boxes,
             "ramps": ramps}
 

@@ -20,21 +20,39 @@ def elo_expected(elo_a, elo_b):
 
 
 def update_elo_pairwise(elo, idx_a, idx_b, score_a, valid):
-    """Batched ELO update from match results.
+    """Batched ELO update from match results — bounded per-pair update.
 
     elo: [P]; idx_a/idx_b: [M] policy indices; score_a: [M] in {0, 0.5, 1};
-    valid: [M] bool. Simultaneous (Jacobi) update: deltas are accumulated
-    against the pre-match ratings.
+    valid: [M] bool.
+
+    A rollout window can contain hundreds of finished matches, often many
+    between the same pair. Summing a per-match Jacobi delta (K per match
+    against pre-match ratings) moves a rating by K*M in one call and
+    diverges without bound. Instead the matches are aggregated into a
+    per-ordered-pair average score, each pair contributes at most one
+    K-scaled delta per call, and the population mean is re-anchored at
+    ELO_START (ratings are only meaningful relative to each other;
+    reference maintains a similarly bounded MMR,
+    /root/reference/scripts/jax_train.py:243-275).
     """
-    ea = elo[idx_a]
-    eb = elo[idx_b]
-    exp_a = elo_expected(ea, eb)
+    p = elo.shape[0]
     v = valid.astype(jnp.float32)
-    delta_a = ELO_K * (score_a - exp_a) * v
+    v = v * (idx_a != idx_b).astype(jnp.float32)  # self-play carries no info
+    pair = idx_a * p + idx_b
+    score_sum = jnp.zeros((p * p,)).at[pair].add(score_a * v)
+    count = jnp.zeros((p * p,)).at[pair].add(v)
+    avg_score = score_sum / jnp.maximum(count, 1.0)
+    have = (count > 0.0).astype(jnp.float32)
+
+    ia = jnp.arange(p * p) // p
+    ib = jnp.arange(p * p) % p
+    exp_a = elo_expected(elo[ia], elo[ib])
+    d = ELO_K * (avg_score - exp_a) * have
     delta = jnp.zeros_like(elo)
-    delta = delta.at[idx_a].add(delta_a)
-    delta = delta.at[idx_b].add(-delta_a)
-    return elo + delta
+    delta = delta.at[ia].add(d)
+    delta = delta.at[ib].add(-d)
+    new_elo = elo + delta
+    return new_elo - jnp.mean(new_elo) + ELO_START
 
 
 def matches_from_episode_results(episode_results, team_policies, dones_w):

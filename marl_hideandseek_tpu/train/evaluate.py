@@ -71,10 +71,18 @@ def eval_policies(dev, eval_cfg: EvalConfig, env, policy: Policy,
         norm.prep(result.obs))
     rnn = policy.actor_critic.init_recurrent_state(n_agents)
 
-    # Round-robin team-vs-team matchups over the policy axis.
+    # Matchup generation (reference: EvalConfig.eval_competitive,
+    # jax_infer.py:155-164 — competitive iff more than one policy):
+    # competitive = round-robin cross-play over the policy axis (drives
+    # ELO); non-competitive = self-play (both teams share a policy; no
+    # relative-skill information, so ELO stays untouched).
+    competitive = eval_cfg.eval_competitive and n_pol > 1
     w_idx = jnp.arange(num_worlds)
     t0 = (w_idx % n_pol).astype(jnp.int32)
-    t1 = ((w_idx + 1 + (w_idx // n_pol)) % n_pol).astype(jnp.int32)
+    if competitive:
+        t1 = ((w_idx + 1 + (w_idx // n_pol)) % n_pol).astype(jnp.int32)
+    else:
+        t1 = t0
     half = a_per_w // 2
     assignments = jnp.concatenate([
         jnp.repeat(t0[:, None], half, axis=1),
@@ -111,12 +119,14 @@ def eval_policies(dev, eval_cfg: EvalConfig, env, policy: Policy,
         key, sub = jax.random.split(key)
         state, obs, rnn, result, actions = eval_step(state, obs, rnn, sub)
         dones_w = result.dones[:, 0, 0].astype(bool)
-        team_pol = jnp.stack([t0, t1], axis=-1)
-        idx_a, idx_b, score_a, valid = \
-            elo_mod.matches_from_episode_results(
-                result.episode_results[None], team_pol[None],
-                dones_w[None])
-        elo = elo_mod.update_elo_pairwise(elo, idx_a, idx_b, score_a, valid)
+        if competitive:
+            team_pol = jnp.stack([t0, t1], axis=-1)
+            idx_a, idx_b, score_a, valid = \
+                elo_mod.matches_from_episode_results(
+                    result.episode_results[None], team_pol[None],
+                    dones_w[None])
+            elo = elo_mod.update_elo_pairwise(
+                elo, idx_a, idx_b, score_a, valid)
         total_scores = total_scores + result.episode_results * \
             dones_w[:, None]
         n_finished += int(dones_w.sum())

@@ -186,6 +186,7 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
 
         actions_packed = jnp.moveaxis(
             actions.reshape(num_worlds, a_per_w, -1), 0, -1)
+        pre_step = env_state.step  # [W] counter BEFORE this transition
         env_state, result = penv.step(env_state, actions_packed)
         # Flatten worlds x agents into the policy batch axis.
         next_obs = jax.tree.map(flat, norm.prep(result.obs))
@@ -201,10 +202,13 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         # Domain learning signal: fraction of seek-phase world-steps where
         # the hiders are hidden (hider_team_reward > 0; reference semantics
         # src/sim.cpp:763-804). Robust to RandomFlipTeams, unlike slicing
-        # reward rows by slot.
+        # reward rows by slot. Gated on the PRE-step counter so the final
+        # seek step of each episode (where the post-step counter wraps to 0
+        # on reset) still counts, matching the reward-active window in
+        # _rewards_dones (cur >= NUM_PREP_STEPS - 1).
         from marl_hideandseek_tpu.config import NUM_PREP_STEPS
-        in_seek = (env_state.step >= NUM_PREP_STEPS).astype(jnp.float32)
-        hidden = (env_state.hider_team_reward > 0.0).astype(jnp.float32)
+        in_seek = (pre_step >= NUM_PREP_STEPS - 1).astype(jnp.float32)
+        hidden = (result.team_reward > 0.0).astype(jnp.float32)
 
         store = {
             "obs": obs,

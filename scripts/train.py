@@ -194,6 +194,11 @@ def main():
     last = {"time": 0.0, "update": 0}
 
     def _log_metrics_host_cb(update_idx, metrics, lrs, entropy_coefs, elos):
+        # One device_get for the whole scalar bundle: through the tunneled
+        # backend every lazy int()/float() pull is a separate device
+        # roundtrip (~10s of ms each), which dominated block time in r2.
+        update_idx, metrics, lrs, entropy_coefs, elos = jax.device_get(
+            (update_idx, metrics, lrs, entropy_coefs, elos))
         update_id = int(update_idx)
         cur = time()
         diff = update_id - last["update"]

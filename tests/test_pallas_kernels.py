@@ -110,6 +110,42 @@ def test_fused_step_kernel_matches(state):
         > 0.999
 
 
+def test_fused_step_packed_matches(state):
+    """The worlds-minor arg-marshalling wrapper (the production TPU hot
+    path, driven by PackedEnv._physics_and_sweep) produces the same bodies
+    and sweep as the worlds-leading fused_step wrapper on the same state.
+    Guards the two wrappers' arg orders against drifting apart."""
+    from marl_hideandseek_tpu.env.packed import pack_state
+
+    zeros = jnp.zeros((W, CFG.num_dyn_bodies, 3))
+    bodies_ref, sweep_ref = pallas_step.fused_step(
+        CFG, state, zeros, zeros, interpret=True)
+    vis_r, lid_r, act_t_r, act_id_r, rew_r = sweep_ref
+
+    ps = pack_state(state)
+    zeros_p = jnp.zeros((CFG.num_dyn_bodies, 3, W))
+    bodies_p, sweep_p = pallas_step.fused_step_packed(
+        CFG, ps, zeros_p, zeros_p, interpret=True)
+
+    for name in ("pos", "quat", "vel", "omega"):
+        a = np.asarray(jnp.moveaxis(getattr(bodies_p, name), -1, 0))
+        b = np.asarray(getattr(bodies_ref, name))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=name)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(sweep_p.vis_seen, -1, 0)), np.asarray(vis_r))
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(sweep_p.lidar, -1, 0)), np.asarray(lid_r),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(sweep_p.act_id, -1, 0)),
+        np.asarray(act_id_r))
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(sweep_p.act_t, -1, 0)), np.asarray(act_t_r),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sweep_p.rew_seen),
+                                  np.asarray(rew_r))
+
+
 def test_physics_kernel_multi_step(state):
     """Chained kernel steps stay finite and settle like the reference."""
     zeros = jnp.zeros((W, CFG.num_dyn_bodies, 3))

@@ -121,6 +121,48 @@ def test_eval_elo():
     assert np.isfinite(np.asarray(mgr2.state.elo)).all()
 
 
+def test_elo_stays_bounded_under_lopsided_matches():
+    """10K simulated lopsided matches (policy 0 always beats 1-3, fed in
+    large same-pair batches like a rollout window) must keep ratings in a
+    plausible band: the per-pair aggregation caps movement at K per ordered
+    pair per call, and the mean stays anchored at 1500. Guards against the
+    divergent per-match-summed Jacobi update (round-2 ELO hit 6166)."""
+    from marl_hideandseek_tpu.train import elo as elo_mod
+
+    p = 4
+    elo = jnp.full((p,), elo_mod.ELO_START)
+    key = jax.random.PRNGKey(0)
+    matches_per_call = 200
+    update = jax.jit(elo_mod.update_elo_pairwise)
+    for i in range(50):  # 50 calls x 200 matches = 10K matches
+        key, sub = jax.random.split(key)
+        idx_b = jax.random.randint(sub, (matches_per_call,), 1, p)
+        idx_a = jnp.zeros((matches_per_call,), jnp.int32)
+        score_a = jnp.ones((matches_per_call,))  # policy 0 always wins
+        valid = jnp.ones((matches_per_call,), bool)
+        elo = update(elo, idx_a, idx_b, score_a, valid)
+    elo = np.asarray(elo)
+    assert np.isfinite(elo).all()
+    assert abs(elo.mean() - elo_mod.ELO_START) < 1.0  # anchored
+    assert elo[0] == elo.max()
+    # A dominant policy separates but stays in a plausible ELO band.
+    assert 100.0 < elo[0] - elo[1:].max() < 1500.0, elo
+    assert elo.max() < 3000.0 and elo.min() > 0.0, elo
+
+
+def test_elo_self_play_is_noop():
+    """Self-play matches carry no relative-skill information; with a
+    mean-centered population the update must leave ratings untouched
+    (the mean anchor re-centers by design, so start centered)."""
+    from marl_hideandseek_tpu.train import elo as elo_mod
+
+    elo = jnp.array([1450.0, 1550.0])
+    idx = jnp.zeros((32,), jnp.int32)
+    out = elo_mod.update_elo_pairwise(
+        elo, idx, idx, jnp.ones((32,)), jnp.ones((32,), bool))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(elo), atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     env = make_env()
     cfg = make_train_cfg()
