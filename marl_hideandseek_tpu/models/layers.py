@@ -148,11 +148,14 @@ class DiscreteActionDistributions:
             [jnp.argmax(lg, axis=-1) for lg in self._split()], axis=-1)
 
     def log_prob(self, actions):
+        # One-hot contraction instead of take_along_axis: per-row gathers
+        # scalarize on TPU; the multiply-reduce over <=5 buckets is exact.
         lps = []
         for i, lg in enumerate(self._split()):
             logp = jax.nn.log_softmax(lg, axis=-1)
-            lps.append(jnp.take_along_axis(
-                logp, actions[..., i:i + 1], axis=-1)[..., 0])
+            oh = jax.nn.one_hot(actions[..., i], lg.shape[-1],
+                                dtype=logp.dtype)
+            lps.append(jnp.sum(logp * oh, axis=-1))
         return jnp.sum(jnp.stack(lps, axis=-1), axis=-1)
 
     def entropy(self):
@@ -248,6 +251,9 @@ class DreamerV3Critic(nn.Module):
         lo_w = 1.0 - hi_w
 
         logp = jax.nn.log_softmax(logits, axis=-1)
-        lp_lo = jnp.take_along_axis(logp, lo_idx[..., None], axis=-1)[..., 0]
-        lp_hi = jnp.take_along_axis(logp, hi_idx[..., None], axis=-1)[..., 0]
+        # One-hot contractions (row gathers scalarize on TPU; exact).
+        oh_lo = jax.nn.one_hot(lo_idx, self.num_bins, dtype=logp.dtype)
+        oh_hi = jax.nn.one_hot(hi_idx, self.num_bins, dtype=logp.dtype)
+        lp_lo = jnp.sum(logp * oh_lo, axis=-1)
+        lp_hi = jnp.sum(logp * oh_hi, axis=-1)
         return -(lo_w * lp_lo + hi_w * lp_hi)

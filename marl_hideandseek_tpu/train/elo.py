@@ -38,19 +38,18 @@ def update_elo_pairwise(elo, idx_a, idx_b, score_a, valid):
     p = elo.shape[0]
     v = valid.astype(jnp.float32)
     v = v * (idx_a != idx_b).astype(jnp.float32)  # self-play carries no info
+    # Per-pair aggregation as a one-hot contraction (scatter-adds over a
+    # [M]-sized index vector scalarize on TPU; M is ~40K per update).
     pair = idx_a * p + idx_b
-    score_sum = jnp.zeros((p * p,)).at[pair].add(score_a * v)
-    count = jnp.zeros((p * p,)).at[pair].add(v)
+    oh = jax.nn.one_hot(pair, p * p, dtype=jnp.float32)  # [M, P*P]
+    score_sum = (score_a * v) @ oh                       # [P*P]
+    count = v @ oh
     avg_score = score_sum / jnp.maximum(count, 1.0)
     have = (count > 0.0).astype(jnp.float32)
 
-    ia = jnp.arange(p * p) // p
-    ib = jnp.arange(p * p) % p
-    exp_a = elo_expected(elo[ia], elo[ib])
-    d = ELO_K * (avg_score - exp_a) * have
-    delta = jnp.zeros_like(elo)
-    delta = delta.at[ia].add(d)
-    delta = delta.at[ib].add(-d)
+    exp_a = elo_expected(elo[:, None], elo[None, :])     # [P, P] a-vs-b
+    d = (ELO_K * (avg_score.reshape(p, p) - exp_a) * have.reshape(p, p))
+    delta = jnp.sum(d, axis=1) - jnp.sum(d, axis=0)      # +as-a, -as-b
     new_elo = elo + delta
     return new_elo - jnp.mean(new_elo) + ELO_START
 

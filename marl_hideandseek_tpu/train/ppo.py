@@ -185,18 +185,22 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
 
         def mb_fn(carry, mb_idx):
             all_params, all_opt_states = carry
-            idx = jax.lax.dynamic_slice_in_dim(
-                perm, mb_idx * mb_size, mb_size)
 
-            def take_agents(x):  # [C, T, N, ...] over agent axis 2
-                return jnp.take(x, idx, axis=2)
+            if num_mb == 1:
+                # Single minibatch = the full batch; the loss is a mean so
+                # ordering is irrelevant — skip the permutation gather
+                # (jnp.take over the agent axis of the whole buffer
+                # scalarizes on TPU and costs real time).
+                mb = data
+            else:
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * mb_size, mb_size)
 
-            def take_rnn(x):  # [C, L, N, H] over agent axis 2
-                return jnp.take(x, idx, axis=2)
+                def take_agents(x):  # [C, T, N, ...] over agent axis 2
+                    return jnp.take(x, idx, axis=2)
 
-            mb = {k: (jax.tree.map(take_rnn, v) if k == "rnn_start"
-                      else jax.tree.map(take_agents, v))
-                  for k, v in data.items()}
+                mb = {k: jax.tree.map(take_agents, v)
+                      for k, v in data.items()}
 
             def one_policy(params, opt_state, p_idx, lr, ent_coef):
                 def loss_fn(p):
