@@ -95,6 +95,12 @@ class EnvConfig:
     dt: float = DT
     num_physics_substeps: int = NUM_PHYSICS_SUBSTEPS
 
+    # Contact restitution coefficient (0 = perfectly inelastic, the
+    # reference's effective behavior). Nonzero values enable the XPBD
+    # restitution velocity pass (env/physics.py); the default costs
+    # nothing (statically compiled out).
+    restitution: float = 0.0
+
     def __post_init__(self):
         max_agents = self.max_hiders + self.max_seekers
         if not (0 < max_agents <= MAX_AGENTS):

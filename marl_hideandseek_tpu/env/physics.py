@@ -65,7 +65,10 @@ K_PAIR = 4
 _WEDGE_RADIUS = 6.0 ** 0.5
 
 # Wedge vertex set (padded to 8 like a box for uniform shapes); from
-# data/ramp_collision.obj.
+# data/ramp_collision.obj. Slots 6-7 sample the midpoints of the two
+# sloped edges instead of duplicating corner verts: they catch
+# wedge-slope-on-box-edge crossings that pure vertex-face manifolds miss
+# (the edge-edge approximation called out in the module docstring).
 _WEDGE_VERTS = jnp.array([
     [1.0, 1.0, 1.0],
     [1.0, 1.0, -1.0],
@@ -73,9 +76,25 @@ _WEDGE_VERTS = jnp.array([
     [-1.0, 1.0, 1.0],
     [-1.0, 1.0, -1.0],
     [-1.0, -2.0, -1.0],
-    [1.0, -2.0, -1.0],
-    [-1.0, -2.0, -1.0],
+    [1.0, -0.5, 0.0],
+    [-1.0, -0.5, 0.0],
 ])
+
+# Static friction coefficients (reference: src/mgr.cpp:479-558 — muS = 0.5
+# for every body shape, 2.0 for the plane; walls share the plane's).
+MU_S_BODY = 0.5
+MU_S_STATIC = 2.0
+
+# Wall/pair SDF sample inset. Corner vertices of an axis-aligned stack (or
+# a box pushed flush against a wall) lie exactly ON the neighbor's face
+# planes, where the max-component box SDF reads 0 along the aligned axes
+# and face-face interpenetration is invisible to vertex sampling — the
+# classic failure that let stacks sink through each other. Sampling
+# wall/pair distances at points inset by VERT_INSET breaks the degeneracy:
+# aligned overlaps register true depth (contacts engage VERT_INSET late,
+# a bounded and documented approximation). Plane contacts keep the exact
+# corners, so settle heights against the floor are exact.
+VERT_INSET = 0.05
 
 _BOX_CORNER_SIGNS = jnp.array([
     [sx, sy, sz]
@@ -202,6 +221,10 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
 
     verts_w = pos_pred[:, None, :] + math3d.quat_rotate(
         quat_pred[:, None, :], verts_local)            # [B, 8, 3]
+    # Inset samples for wall/pair SDFs (see VERT_INSET).
+    verts_in = verts_local - VERT_INSET * jnp.sign(verts_local)
+    verts_w_in = pos_pred[:, None, :] + math3d.quat_rotate(
+        quat_pred[:, None, :], verts_in)
 
     # Conservative per-body bounding radius (max vertex distance).
     r_bound = jnp.where(
@@ -237,13 +260,13 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
     sdf_pl = jnp.einsum("bvpk,pk->bvp", rel_p, statics.plane_normal)
     sdf_pl = jnp.where(statics.plane_active[None, None, :], sdf_pl, 1e9)
 
-    # Wall candidates (preselected): [B, 8, K]
-    rel_w = verts_w[:, :, None, :] - wall_pos_k[:, None]
+    # Wall candidates (preselected, inset samples): [B, 8, K]
+    rel_w = verts_w_in[:, :, None, :] - wall_pos_k[:, None]
     sdf_wl, _ = aabb_sdf_normal(rel_w, wall_half_k[:, None])
     sdf_wl = jnp.where(wall_ok_k[:, None, :], sdf_wl, 1e9)
 
-    # Pair candidates (preselected): [B, 8, K]
-    rel_d = verts_w[:, :, None, :] - nb_pos_k[:, None]
+    # Pair candidates (preselected, inset samples): [B, 8, K]
+    rel_d = verts_w_in[:, :, None, :] - nb_pos_k[:, None]
     pl = math3d.quat_rotate_inv(nb_quat_k[:, None], rel_d)
     sdf_pr, _ = convex_sdf_local(pl, nb_half_k[:, None],
                                  nb_ramp_k[:, None])
@@ -307,9 +330,16 @@ def build_manifold(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
 
 def _refresh_contacts(cfg, man: Manifold, pos, quat):
     """Recompute world contact point, depth and normal for each manifold
-    slot at the current pose. Returns (p, n, depth, nb data...)."""
-    # Contact vertex in world.
-    p = pos[:, None, :] + math3d.quat_rotate(quat[:, None, :], man.v_local)
+    slot at the current pose. Returns (p, n, depth, nb data...).
+
+    Plane slots evaluate at the exact vertex; wall/pair slots at the
+    VERT_INSET sample (matching build_manifold), and the returned contact
+    point is the per-kind sample so lever arms stay consistent."""
+    # Contact vertex in world (exact + inset samples).
+    p_ex = pos[:, None, :] + math3d.quat_rotate(
+        quat[:, None, :], man.v_local)
+    v_in = man.v_local - VERT_INSET * jnp.sign(man.v_local)
+    p_in = pos[:, None, :] + math3d.quat_rotate(quat[:, None, :], v_in)
 
     # Neighbor state via one-hot (zeros for non-pair kinds).
     nb_pos = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, pos)
@@ -319,12 +349,12 @@ def _refresh_contacts(cfg, man: Manifold, pos, quat):
                         jnp.array([1.0, 0.0, 0.0, 0.0]))
     nb_pos = jnp.where(is_pair[..., None], nb_pos, 1e6)
 
-    # Plane depth/normal.
-    d_plane = jnp.sum((p - man.flat_pt) * man.flat_n, axis=-1)
-    # Wall depth/normal.
-    sdf_w, n_w = aabb_sdf_normal(p - man.flat_pt, man.wall_half)
-    # Pair depth/normal.
-    p_l = math3d.quat_rotate_inv(nb_quat, p - nb_pos)
+    # Plane depth/normal (exact vertex).
+    d_plane = jnp.sum((p_ex - man.flat_pt) * man.flat_n, axis=-1)
+    # Wall depth/normal (inset sample).
+    sdf_w, n_w = aabb_sdf_normal(p_in - man.flat_pt, man.wall_half)
+    # Pair depth/normal (inset sample).
+    p_l = math3d.quat_rotate_inv(nb_quat, p_in - nb_pos)
     sdf_p, n_l = convex_sdf_local(p_l, man.nb_half, man.nb_is_ramp)
     n_p = math3d.quat_rotate(nb_quat, n_l)
 
@@ -334,13 +364,19 @@ def _refresh_contacts(cfg, man: Manifold, pos, quat):
                       jnp.where(is_wall, -sdf_w, -sdf_p))
     n = jnp.where(is_plane[..., None], man.flat_n,
                   jnp.where(is_wall[..., None], n_w, n_p))
+    p = jnp.where(is_plane[..., None], p_ex, p_in)
     mask = man.valid & (man.kind > 0) & (depth > 0.0)
-    return p, n, depth, mask, nb_pos, nb_quat
+    return p, n, depth, mask, nb_pos, nb_quat, p_l
 
 
 def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
-                   p, n, depth, mask, nb_pos, nb_quat):
-    """Jacobi position pass over the [B, C] manifold.
+                   p, n, depth, mask, nb_pos, nb_quat,
+                   pos_prev=None, quat_prev=None, p_l=None):
+    """Jacobi position pass over the [B, C] manifold: normal correction +
+    XPBD positional static friction (Macklin et al. 2020 §3.4 — cancel the
+    tangential contact-point drift this substep when the required impulse
+    stays inside the static cone mu_s * lam_n; sliding contacts are left
+    to the velocity-pass dynamic friction).
 
     The static kinds are the dynamic math with zero b-side inverse mass.
     Returns (dpos [B,3], drot [B,3], cnt [B], lam [B,C]).
@@ -366,17 +402,65 @@ def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
                     depth / jnp.maximum(w_sum, 1e-9), 0.0)
     imp = lam[..., None] * n   # pushes a along +n
 
-    dpos_a = jnp.sum(imp, axis=1) * w_lin[:, None]
-    drot_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
-                     axis=1)
-    imp_b = -imp * nb_w[..., None]
-    ang_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -imp))
-    dpos = dpos_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, imp_b)
-    drot = drot_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, ang_b)
+    if pos_prev is not None:
+        # Tangential drift of the contact point over this substep:
+        # dp = (p_a_now - p_a_prev) - (p_b_now - p_b_prev). Both "now"
+        # points coincide at p, so dp = p_prev_b - p_prev_a; the static
+        # correction pushes a along -dp to cancel the drift. Uses the same
+        # per-kind sample point as the refresh (inset for wall/pair).
+        v_in = man.v_local - VERT_INSET * jnp.sign(man.v_local)
+        is_plane_k = (man.kind == KIND_PLANE)[..., None]
+        v_eval = jnp.where(is_plane_k, man.v_local, v_in)
+        p_prev_a = pos_prev[:, None, :] + math3d.quat_rotate(
+            quat_prev[:, None, :], v_eval)
+        nb_pos_pv = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, pos_prev)
+        nb_quat_pv_r = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, quat_prev)
+        nb_quat_pv = jnp.where(is_pair[..., None], nb_quat_pv_r,
+                               jnp.array([1.0, 0.0, 0.0, 0.0]))
+        p_prev_b = jnp.where(
+            is_pair[..., None],
+            nb_pos_pv + math3d.quat_rotate(nb_quat_pv, p_l), p)
+        dp = p_prev_b - p_prev_a
+        dpt = dp - jnp.sum(dp * n, axis=-1, keepdims=True) * n
+        dpt_len = jnp.linalg.norm(dpt, axis=-1)
+        t_dir = dpt / jnp.maximum(dpt_len, 1e-9)[..., None]
+
+        rxt_a = jnp.cross(r_a, t_dir)
+        rxt_b = jnp.cross(r_b, t_dir)
+        w_t = (w_lin[:, None] + nb_w +
+               jnp.sum(rxt_a * _apply_inv_inertia(q_a, ii_a, rxt_a),
+                       axis=-1) +
+               jnp.sum(rxt_b * _apply_inv_inertia(nb_quat, nb_ii, rxt_b),
+                       axis=-1))
+        lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
+        mu_s = jnp.where(is_pair, MU_S_BODY, MU_S_STATIC)
+        static_ok = (mask & (lam > 0.0) & (w_t > 1e-9) &
+                     (lam_t <= mu_s * lam))
+        imp_t = -jnp.where(static_ok, lam_t, 0.0)[..., None] * t_dir
+    else:
+        imp_t = jnp.zeros_like(imp)
+
+    def accumulate(impulse):
+        d_a = jnp.sum(impulse, axis=1) * w_lin[:, None]
+        r_acc = jnp.sum(
+            _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, impulse)), axis=1)
+        i_b = -impulse * nb_w[..., None]
+        a_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -impulse))
+        return (d_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, i_b),
+                r_acc + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, a_b))
+
+    # Normal corrections are count-normalized (Jacobi averaging); the
+    # static-friction corrections are NOT: for a symmetric resting face
+    # the per-contact angular responses cancel, so averaging would only
+    # cancel ~invM/w_t of the drift and the body creeps under any force.
+    # Unnormalized application restores full cancellation and stays
+    # bounded by the per-contact static cone clamp above.
+    dpos, drot = accumulate(imp)
+    dpos_t, drot_t = accumulate(imp_t)
 
     m_f = mask.astype(pos.dtype)
     cnt = jnp.sum(m_f, axis=1) + jnp.einsum("bcB,bc->B", man.nb_onehot, m_f)
-    return dpos, drot, cnt, lam
+    return dpos, drot, cnt, lam, dpos_t, drot_t
 
 
 def _contact_friction(man: Manifold, pos, quat, vel, omega, w_lin, inv_I,
@@ -425,6 +509,66 @@ def _contact_friction(man: Manifold, pos, quat, vel, omega, w_lin, inv_I,
     a_f = active.astype(pos.dtype)
     cnt = jnp.sum(a_f, axis=1) + jnp.einsum("bcB,bc->B", man.nb_onehot, a_f)
     return dvel, dom, cnt
+
+
+def _contact_normal_vel(man: Manifold, pos, quat, vel, omega,
+                        p, n, nb_pos):
+    """Relative normal velocity at each manifold contact point [B, C]."""
+    is_pair = man.kind == KIND_PAIR
+    nb_vel = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, vel) * \
+        is_pair[..., None]
+    nb_om = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, omega) * \
+        is_pair[..., None]
+    r_a = p - pos[:, None, :]
+    r_b = p - nb_pos
+    v_a = vel[:, None, :] + jnp.cross(omega[:, None, :], r_a)
+    v_b = nb_vel + jnp.cross(nb_om, r_b)
+    return jnp.sum((v_a - v_b) * n, axis=-1)
+
+
+def _contact_restitution(man: Manifold, pos, quat, vel, omega, w_lin,
+                         inv_I, p, n, mask, nb_pos, nb_quat, lam,
+                         vn_pre, e, h):
+    """XPBD restitution velocity pass: drive the post-solve normal
+    velocity to -e * vn_pre for contacts that came in faster than the
+    resting threshold 2*g*h (Macklin et al. 2020 §3.6).
+
+    Runs for e = 0 too: the position solve converts impact penetration
+    into outward velocity (an artificial near-elastic bounce); with
+    e = 0 this pass cancels that reconstructed velocity, which is the
+    perfectly-inelastic reference behavior. Corrections are applied
+    UNNORMALIZED (see _contact_solve on Jacobi averaging): exact for
+    single contacts and symmetric faces, self-limiting otherwise."""
+    is_pair = man.kind == KIND_PAIR
+    nb_w = jnp.einsum("bcB,B->bc", man.nb_onehot, w_lin) * is_pair
+    nb_ii = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, inv_I) * \
+        is_pair[..., None]
+
+    vn_now = _contact_normal_vel(man, pos, quat, vel, omega, p, n, nb_pos)
+    r_a = p - pos[:, None, :]
+    r_b = p - nb_pos
+    q_a = quat[:, None, :]
+    ii_a = inv_I[:, None, :]
+    rxn_a = jnp.cross(r_a, n)
+    rxn_b = jnp.cross(r_b, n)
+    w_n = (w_lin[:, None] + nb_w +
+           jnp.sum(rxn_a * _apply_inv_inertia(q_a, ii_a, rxn_a), axis=-1) +
+           jnp.sum(rxn_b * _apply_inv_inertia(nb_quat, nb_ii, rxn_b),
+                   axis=-1))
+    thresh = 2.0 * 9.8 * h
+    need = mask & (lam > 0.0) & (vn_pre < -thresh) & (w_n > 1e-9)
+    j = jnp.where(need,
+                  (-e * vn_pre - vn_now) / jnp.maximum(w_n, 1e-9), 0.0)
+    imp = j[..., None] * n
+
+    dvel_a = jnp.sum(imp, axis=1) * w_lin[:, None]
+    dom_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
+                    axis=1)
+    imp_b = -imp * nb_w[..., None]
+    ang_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -imp))
+    dvel = dvel_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, imp_b)
+    dom = dom_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, ang_b)
+    return dvel, dom
 
 
 def solve_grab_joints(cfg, pos, quat, eff_inv_m, inv_inertia,
@@ -542,14 +686,14 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         quat_i = math3d.quat_integrate(quat, omega_i, h)
 
         # --- refresh + solve the persistent manifold -------------------
-        p, n, depth, mask, nb_pos, nb_quat = _refresh_contacts(
+        p, n, depth, mask, nb_pos, nb_quat, p_l = _refresh_contacts(
             cfg, man, pos_i, quat_i)
-        dpos, drot, cnt, lam = _contact_solve(
+        dpos, drot, cnt, lam, dpos_t, drot_t = _contact_solve(
             man, pos_i, quat_i, eff_inv_m, eff_inv_I, p, n, depth, mask,
-            nb_pos, nb_quat)
+            nb_pos, nb_quat, pos_prev, quat_prev, p_l)
         norm = 1.0 / jnp.maximum(cnt, 1.0)
-        pos_c = pos_i + dpos * norm[:, None]
-        quat_c = _apply_rot(quat_i, drot * norm[:, None])
+        pos_c = pos_i + dpos * norm[:, None] + dpos_t
+        quat_c = _apply_rot(quat_i, drot * norm[:, None] + drot_t)
 
         dpos_j, drot_j = solve_grab_joints(
             cfg, pos_c, quat_c, eff_inv_m, eff_inv_I, grab)
@@ -568,6 +712,17 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         fnorm = 1.0 / jnp.maximum(fcnt, 1.0)
         vel_n = vel_n + dvel * fnorm[:, None]
         omega_n = omega_n + dom * fnorm[:, None]
+
+        # --- velocity pass: restitution (e = 0 cancels the artificial
+        # position-solve bounce on fast impacts) ------------------------
+        vn_pre = _contact_normal_vel(
+            man, pos_i, quat_i, vel_i, omega_i, p, n, nb_pos)
+        dvel_r, dom_r = _contact_restitution(
+            man, pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
+            p, n, mask, nb_pos, nb_quat, lam, vn_pre,
+            cfg.restitution, h)
+        vel_n = vel_n + dvel_r
+        omega_n = omega_n + dom_r
 
         # Frozen bodies keep zero velocity.
         vel_n = jnp.where(dynamic[:, None], vel_n, 0.0)

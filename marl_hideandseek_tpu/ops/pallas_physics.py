@@ -188,10 +188,11 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
 
         mu_stat = jnp.maximum(mu_b, 2.0)
         # Box corner v encodes sign bits (v//4, v//2, v//1) % 2; the wedge
-        # vertex set matches physics.py::_WEDGE_VERTS.
+        # vertex set matches physics.py::_WEDGE_VERTS (slots 6-7 are the
+        # sloped-edge midpoints).
         wedge = [(1., 1., 1.), (1., 1., -1.), (1., -2., -1.), (-1., 1., 1.),
-                 (-1., 1., -1.), (-1., -2., -1.), (1., -2., -1.),
-                 (-1., -2., -1.)]
+                 (-1., 1., -1.), (-1., -2., -1.), (1., -0.5, 0.),
+                 (-1., -0.5, 0.)]
 
         # ---- per-body candidate preselection ------------------------------
         # Centre-distance lower bounds pick each body's K nearest walls and
@@ -283,9 +284,14 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
         vloc = tuple(
             jnp.where(ramp3, w, s * bc(h))
             for w, s, h in zip(wvert, sgn, half))
+        # Inset samples for wall/pair SDFs (physics.py::VERT_INSET —
+        # breaks the aligned-stack boundary degeneracy).
+        vloc_in = tuple(v - jphys.VERT_INSET * jnp.sign(v) for v in vloc)
 
-        p = _add(tuple(bc(c) for c in pp),
-                 _qrot(tuple(bc(c) for c in quat0), vloc))  # [B, C, L] x3
+        pp_b = tuple(bc(c) for c in pp)
+        quat0_b = tuple(bc(c) for c in quat0)
+        p = _add(pp_b, _qrot(quat0_b, vloc))            # [B, C, L] x3
+        p_in0 = _add(pp_b, _qrot(quat0_b, vloc_in))
 
         best = jnp.full(shape3, 1e9)
         zero3 = jnp.zeros(shape3)
@@ -317,7 +323,7 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
         for lb_s, fields in wall_sel:
             wc = tuple(bc(c) for c in fields[0:3])
             wh = tuple(bc(c) for c in fields[3:6])
-            sdf, _ = _box_sdf_normal(_sub(p, wc), wh)
+            sdf, _ = _box_sdf_normal(_sub(p_in0, wc), wh)
             win = (sdf < best) & bc(lb_s < 1e8)
             merge(win, sdf, float(jphys.KIND_WALL), aux=wh, fpt=wc,
                   mu=bc(mu_stat))
@@ -327,7 +333,7 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             qj = tuple(bc(c) for c in fields[4:8])
             hj = tuple(bc(c) for c in fields[8:11])
             rp_s, mu_s = bc(fields[11]), bc(fields[12])
-            p_l = _qrot(qj, _sub(p, pj), inv=True)
+            p_l = _qrot(qj, _sub(p_in0, pj), inv=True)
             sdf_b, _ = _box_sdf_normal(p_l, hj)
             sdf_w, _ = _wedge_sdf_normal(p_l)
             sdf = jnp.where(rp_s > 0.5, sdf_w, sdf_b)
@@ -414,7 +420,8 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             pa = tuple(c[:, None, :] for c in pos_i)
 
             # ---- refresh contacts --------------------------------------
-            p = _add(pa, _qrot(qa, vloc))               # [B, C, L]
+            p_ex = _add(pa, _qrot(qa, vloc))            # [B, C, L]
+            p_in = _add(pa, _qrot(qa, vloc_in))
 
             nb_pos = tuple(route(c) for c in pos_i)
             nb_quat_r = tuple(route(c) for c in quat_i)
@@ -424,9 +431,9 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
                        jnp.where(is_pair, nb_quat_r[3], 0.0))
             nb_pos = tuple(jnp.where(is_pair, c, 1e6) for c in nb_pos)
 
-            d_plane = _dot(_sub(p, fpt), fn)
-            sdf_w, n_w = _box_sdf_normal(_sub(p, fpt), whalf)
-            p_l = _qrot(nb_quat, _sub(p, nb_pos), inv=True)
+            d_plane = _dot(_sub(p_ex, fpt), fn)
+            sdf_w, n_w = _box_sdf_normal(_sub(p_in, fpt), whalf)
+            p_l = _qrot(nb_quat, _sub(p_in, nb_pos), inv=True)
             sdf_box, n_box = _box_sdf_normal(p_l, nb_half)
             sdf_wed, n_wed = _wedge_sdf_normal(p_l)
             sdf_p = jnp.where(nb_ramp, sdf_wed, sdf_box)
@@ -439,6 +446,10 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             n = tuple(
                 jnp.where(is_plane, a, jnp.where(is_wall, b, c))
                 for a, b, c in zip(fn, n_w, n_p))
+            # Per-kind contact point (plane: exact vertex; wall/pair:
+            # the inset sample) — used for all lever arms below.
+            p = tuple(jnp.where(is_plane, a, b)
+                      for a, b in zip(p_ex, p_in))
             mask = valid & (kind > 0.5) & (depth > 0.0)
 
             # ---- position solve ----------------------------------------
@@ -454,17 +465,6 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
                             depth / jnp.maximum(w_sum, 1e-9), 0.0)
             imp = _scale(n, lam)
 
-            m_f = mask.astype(jnp.float32)
-            cnt_a = jnp.sum(m_f, axis=1)               # [B, L]
-            dpos_a = tuple(jnp.sum(c, axis=1) * inv_m for c in imp)
-            ang_a_c = _apply_invI(qa, iIa, _cross(r_a, imp))
-            drot_a = tuple(jnp.sum(c, axis=1) for c in ang_a_c)
-
-            # b-side: per-contact impulses routed back by nb_idx.
-            imp_b = _scale(imp, -nb_w)                 # [B, C, L]
-            ang_b_c = _apply_invI(nb_quat, nb_invI,
-                                  _cross(r_b, _scale(imp, -1.0)))
-
             def scatter(vals):
                 """Sum per-contact [B, C, L] into [B, L] rows by nb_idx."""
                 rows = []
@@ -472,14 +472,63 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
                     rows.append(jnp.sum(vals * nb_sel[j], axis=(0, 1)))
                 return jnp.stack(rows, axis=0)
 
-            dpos = tuple(a + scatter(b) for a, b in zip(dpos_a, imp_b))
-            drot = tuple(a + scatter(b) for a, b in zip(drot_a, ang_b_c))
+            def accumulate(impulse):
+                """Per-contact impulses -> per-body (dpos, drot) rows."""
+                d_a = tuple(jnp.sum(c, axis=1) * inv_m for c in impulse)
+                ang_a = _apply_invI(qa, iIa, _cross(r_a, impulse))
+                r_acc = tuple(jnp.sum(c, axis=1) for c in ang_a)
+                i_b = _scale(impulse, -nb_w)
+                a_b = _apply_invI(nb_quat, nb_invI,
+                                  _cross(r_b, _scale(impulse, -1.0)))
+                return (tuple(x + scatter(y) for x, y in zip(d_a, i_b)),
+                        tuple(x + scatter(y) for x, y in zip(r_acc, a_b)))
+
+            # ---- positional static friction (physics.py::_contact_solve:
+            # cancel tangential contact drift inside the static cone;
+            # applied UNNORMALIZED — Jacobi averaging would cancel only
+            # ~invM/w_t of the drift on symmetric faces).
+            v_eval = tuple(jnp.where(is_plane, a, b)
+                           for a, b in zip(vloc, vloc_in))
+            pa_pv = tuple(c[:, None, :] for c in (px, py, pz))
+            qa_pv = tuple(c[:, None, :] for c in (qw, qx, qy, qz))
+            p_prev_a = _add(pa_pv, _qrot(qa_pv, v_eval))
+            nb_pos_pv = tuple(route(c) for c in (px, py, pz))
+            nb_q_pv_r = tuple(route(c) for c in (qw, qx, qy, qz))
+            nb_q_pv = (jnp.where(is_pair, nb_q_pv_r[0], 1.0),
+                       jnp.where(is_pair, nb_q_pv_r[1], 0.0),
+                       jnp.where(is_pair, nb_q_pv_r[2], 0.0),
+                       jnp.where(is_pair, nb_q_pv_r[3], 0.0))
+            p_prev_b_pr = _add(nb_pos_pv, _qrot(nb_q_pv, p_l))
+            p_prev_b = tuple(jnp.where(is_pair, a, b)
+                             for a, b in zip(p_prev_b_pr, p))
+            dp_f = _sub(p_prev_b, p_prev_a)
+            dpn = _dot(dp_f, n)
+            dpt = _sub(dp_f, _scale(n, dpn))
+            dpt_len = jnp.sqrt(_dot(dpt, dpt) + 1e-18)
+            t_dir = _scale(dpt, 1.0 / jnp.maximum(dpt_len, 1e-9))
+            rxt_a = _cross(r_a, t_dir)
+            rxt_b = _cross(r_b, t_dir)
+            w_t = (inv_m[:, None, :] + nb_w +
+                   _dot(rxt_a, _apply_invI(qa, iIa, rxt_a)) +
+                   _dot(rxt_b, _apply_invI(nb_quat, nb_invI, rxt_b)))
+            lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
+            mu_s_c = jnp.where(is_pair, jphys.MU_S_BODY, jphys.MU_S_STATIC)
+            static_ok = (mask & (lam > 0.0) & (w_t > 1e-9) &
+                         (lam_t <= mu_s_c * lam))
+            imp_t = _scale(t_dir, -jnp.where(static_ok, lam_t, 0.0))
+
+            m_f = mask.astype(jnp.float32)
+            cnt_a = jnp.sum(m_f, axis=1)               # [B, L]
+            dpos, drot = accumulate(imp)
+            dpos_t, drot_t = accumulate(imp_t)
             cnt = cnt_a + scatter(m_f)
 
             norm = 1.0 / jnp.maximum(cnt, 1.0)
-            pos_c = (px1 + dpos[0] * norm, py1 + dpos[1] * norm,
-                     pz1 + dpos[2] * norm)
-            rv = (drot[0] * norm, drot[1] * norm, drot[2] * norm)
+            pos_c = (px1 + dpos[0] * norm + dpos_t[0],
+                     py1 + dpos[1] * norm + dpos_t[1],
+                     pz1 + dpos[2] * norm + dpos_t[2])
+            rv = (drot[0] * norm + drot_t[0], drot[1] * norm + drot_t[1],
+                  drot[2] * norm + drot_t[2])
             dq2 = _qmul((jnp.zeros_like(rv[0]),) + rv, quat_i)
             quat_c = _qnorm((quat_i[0] + 0.5 * dq2[0],
                              quat_i[1] + 0.5 * dq2[1],
@@ -633,6 +682,52 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             ox3 = ox2 + dom[0] * fnorm
             oy3 = oy2 + dom[1] * fnorm
             oz3 = oz2 + dom[2] * fnorm
+
+            # ---- velocity pass: restitution ----------------------------
+            # e = 0 cancels the artificial position-solve bounce on fast
+            # impacts (physics.py::_contact_restitution; unnormalized).
+            v_pre_b = tuple(c[:, None, :] for c in (vx1, vy1, vz1))
+            o_pre_b = tuple(c[:, None, :] for c in (ox1, oy1, oz1))
+            nb_v_pre = tuple(route(c) for c in (vx1, vy1, vz1))
+            nb_o_pre = tuple(route(c) for c in (ox1, oy1, oz1))
+            v_pre_a = _add(v_pre_b, _cross(o_pre_b, _sub(p, pa)))
+            v_pre_nb = _add(nb_v_pre, _cross(nb_o_pre, r_b))
+            vn_pre = _dot(_sub(v_pre_a, v_pre_nb), n)
+
+            vel3_b = tuple(c[:, None, :] for c in (vx3, vy3, vz3))
+            om3_b = tuple(c[:, None, :] for c in (ox3, oy3, oz3))
+            nb_v3 = tuple(route(c) for c in (vx3, vy3, vz3))
+            nb_o3 = tuple(route(c) for c in (ox3, oy3, oz3))
+            v_now_a = _add(vel3_b, _cross(om3_b, r_a2))
+            v_now_b = _add(nb_v3, _cross(nb_o3, r_b2))
+            vn_now = _dot(_sub(v_now_a, v_now_b), n)
+
+            rxn_a3 = _cross(r_a2, n)
+            rxn_b3 = _cross(r_b2, n)
+            w_n3 = (inv_m[:, None, :] + nb_w +
+                    _dot(rxn_a3, _apply_invI(qa_c, iIa, rxn_a3)) +
+                    _dot(rxn_b3, _apply_invI(nb_quat, nb_invI, rxn_b3)))
+            need_r = (mask & (lam > 0.0) &
+                      (vn_pre < -2.0 * 9.8 * h) & (w_n3 > 1e-9))
+            e_rest = cfg.restitution
+            jr = jnp.where(need_r,
+                           (-e_rest * vn_pre - vn_now) /
+                           jnp.maximum(w_n3, 1e-9), 0.0)
+            rimp = _scale(n, jr)
+            dvr_a = tuple(jnp.sum(c, axis=1) * inv_m for c in rimp)
+            rang_a = _apply_invI(qa_c, iIa, _cross(r_a2, rimp))
+            domr_a = tuple(jnp.sum(c, axis=1) for c in rang_a)
+            rimp_b = _scale(rimp, -nb_w)
+            rang_b = _apply_invI(nb_quat, nb_invI,
+                                 _cross(r_b2, _scale(rimp, -1.0)))
+            dvr = tuple(a + scatter(b) for a, b in zip(dvr_a, rimp_b))
+            domr = tuple(a + scatter(b) for a, b in zip(domr_a, rang_b))
+            vx3 = vx3 + dvr[0]
+            vy3 = vy3 + dvr[1]
+            vz3 = vz3 + dvr[2]
+            ox3 = ox3 + domr[0]
+            oy3 = oy3 + domr[1]
+            oz3 = oz3 + domr[2]
 
             # ---- freeze static/locked bodies ---------------------------
             out_p = tuple(jnp.where(dyn, c, o)

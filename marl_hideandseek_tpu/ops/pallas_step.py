@@ -64,32 +64,42 @@ from marl_hideandseek_tpu.types import body_slot_ranges
 _COS_HALF_FOV = float(np.cos(np.deg2rad(VIS_FOV_DEGREES / 2.0)))
 
 
-def _ray_static_tables(cfg: EnvConfig):
-    """Static per-row metadata for the sweep: (R, rows-per-agent, n_tgt,
-    exclude slot per row [R], max_t per row [R])."""
-    n_a = cfg.max_agents
-    _, _, (agent_lo, _) = body_slot_ranges(cfg)
-    n_tgt = (MAX_AGENTS - 1) + cfg.max_boxes + cfg.max_ramps
-    r_a = n_tgt + NUM_LIDAR_SAMPLES + 1
-    r = n_a * r_a
-    excl = np.zeros((r,), np.int32)
-    maxt = np.zeros((r,), np.float32)
-    for a in range(n_a):
-        base = a * r_a
-        excl[base:base + r_a] = agent_lo + a
-        maxt[base:base + n_tgt] = 1.0
-        maxt[base + n_tgt:base + n_tgt + NUM_LIDAR_SAMPLES] = LIDAR_MAX_RANGE
-        maxt[base + r_a - 1] = INTERACT_RAY_LEN
-    return r, r_a, n_tgt, excl, maxt
+def _wall_bound(wall_active, axis: int) -> jnp.ndarray:
+    """i32 [1] batch-max active-wall count for the kernel's dynamic wall
+    loop (wall slots are densely packed: geometry.wall_active)."""
+    counts = jnp.sum(wall_active.astype(jnp.int32), axis=axis)
+    return jnp.max(counts).astype(jnp.int32)[None]
 
 
-def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
+def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
+                       dynamic_walls: bool = True):
+    """Fused physics + ray-sweep kernel.
+
+    Sweep layout (round-3 work-cut): three row-sets stacked per agent —
+    VIS [A, n_tgt, L] (3-D target rays, ids tracked), LID [A, 30, L]
+    (horizontal lidar rays, t-only), ACT [A, 1, L] (horizontal grab/lock
+    ray from the eye point). Exploited invariants, each pinned by tests:
+
+      * agent quats are pure yaw (inv-inertia x/y are zeroed,
+        reference: src/mgr.cpp:576-584), so agent basis vectors and
+        agent-body ray transforms are 2-D rotations, and lidar/act ray
+        dirs have exactly dz = 0;
+      * every active wall shares one z slab per world (walls are
+        z-extruded with constant height, env/geometry.py:walls_to_obbs;
+        debug fixtures match) — the wall-loop z axis hoists to one
+        per-row-set computation (VIS) or a per-agent mask (LID/ACT);
+      * wall slots are densely packed (wall_active = arange < n), so the
+        wall loop can bound its trip count by the block's max wall count
+        (`dynamic_walls`);
+      * per-agent ray origins are shared by all of the agent's rays: the
+        per-body origin transform runs on [A, 1, L] instead of [R, L].
+    """
     core = make_physics_core(cfg, n_wall, n_plane)
     n_body = cfg.num_dyn_bodies
     (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
         body_slot_ranges(cfg)
     n_a = cfg.max_agents
-    n_rays, r_a, n_tgt, row_excl, row_maxt = _ray_static_tables(cfg)
+    n_tgt = (MAX_AGENTS - 1) + cfg.max_boxes + cfg.max_ramps
     others = _others_index_matrix(n_a)                      # np [A, 5]
     t_agent_cols = MAX_AGENTS - 1
 
@@ -99,9 +109,8 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
         for k in range(NUM_LIDAR_SAMPLES)
     ]
 
-    # Static target slot per vis row within an agent block (agent targets
-    # use the o_safe clamp exactly like the jnp path so invalid columns
-    # trace the same (masked-out) rays).
+    # Static target slot per (agent, vis column), with the o_safe clamp of
+    # the jnp path (invalid columns trace the same masked-out rays).
     tgt_slots = np.zeros((n_a, n_tgt), np.int32)
     for a in range(n_a):
         for k in range(t_agent_cols):
@@ -112,131 +121,187 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
             tgt_slots[a, t_agent_cols + cfg.max_boxes + k] = ramp_lo + k
 
     def kernel(*args):
-        ins, outs = args[:26], args[26:]
+        ins, outs = args[:27], args[27:]
         (pos_ref, quat_ref, vel_ref, om_ref, invm_ref, invI_ref, dyn_ref,
          act_ref, he_ref, mub_ref, f_ref, tq_ref, wp_ref, wh2_ref, wa_ref,
          pp_ref, pn_ref, pa_ref, gt_ref, gr2_ref, gq_ref, gsep_ref,
-         atype_ref, aact_ref, nab_ref, nar_ref) = ins
+         atype_ref, aact_ref, nab_ref, nar_ref, nwb_ref) = ins
         (pos_out, quat_out, vel_out, om_out,
          vis_out, lid_out, actt_out, actid_out, rew_out) = outs
 
         carry = core(*ins[:22])
-        (px, py, pz, qw, qx, qy, qz, vx, vy, vz, wx, wy, wz) = carry
+        (px, py, pz, qw, qx, qy, qz, vx, vy, vz, wx_, wy_, wz_) = carry
 
         pos_out[:] = jnp.stack(carry[0:3], axis=1)
         quat_out[:] = jnp.stack(carry[3:7], axis=1)
         vel_out[:] = jnp.stack(carry[7:10], axis=1)
         om_out[:] = jnp.stack(carry[10:13], axis=1)
 
-        # ---- build the ray set from the post-physics pose ----------------
-        a_fwd = []
-        dx_rows, dy_rows, dz_rows = [], [], []
-        ox_rows, oy_rows, oz_rows = [], [], []
-        for a in range(n_a):
-            s = agent_lo + a
-            apx, apy, apz = px[s], py[s], pz[s]
-            q = (qw[s], qx[s], qy[s], qz[s])
-            one = jnp.ones_like(apx)
-            zero = jnp.zeros_like(apx)
-            fx, fy, fz = _qrot(q, (zero, one, zero))
-            rx, ry, rz = _qrot(q, (one, zero, zero))
-            a_fwd.append((fx, fy, fz))
+        # ---- per-agent basis + origins [A, 1, L] -------------------------
+        def arows(vals):
+            return jnp.stack(vals)[:, None, :]              # [A, 1, L]
 
-            for k in range(n_tgt):
-                t = tgt_slots[a, k]
-                dx_rows.append(px[t] - apx)
-                dy_rows.append(py[t] - apy)
-                dz_rows.append(pz[t] - apz)
-            for ck, sk in lidar_cs:
-                dx_rows.append(ck * rx + sk * fx)
-                dy_rows.append(ck * ry + sk * fy)
-                dz_rows.append(ck * rz + sk * fz)
-            dx_rows.append(fx)
-            dy_rows.append(fy)
-            dz_rows.append(fz)
+        apx = arows([px[agent_lo + a] for a in range(n_a)])
+        apy = arows([py[agent_lo + a] for a in range(n_a)])
+        apz = arows([pz[agent_lo + a] for a in range(n_a)])
+        aqw = arows([qw[agent_lo + a] for a in range(n_a)])
+        aqz = arows([qz[agent_lo + a] for a in range(n_a)])
+        # Yaw-only rotation columns: fwd = q*(0,1,0) = (-2wz, 1-2z^2, 0),
+        # right = q*(1,0,0) = (1-2z^2, 2wz, 0). Same expressions as the
+        # general _qrot specialized at qx=qy=0 (bit-identical op order).
+        c_yaw = 1.0 - 2.0 * aqz * aqz
+        s_yaw = 2.0 * aqw * aqz
+        fwx, fwy = -s_yaw, c_yaw
+        rtx, rty = c_yaw, s_yaw
 
-            ox_rows.append(jnp.broadcast_to(apx[None], (r_a, LANE)))
-            oy_rows.append(jnp.broadcast_to(apy[None], (r_a, LANE)))
-            # Grab/lock ray origin is the eye point: pos + 0.5 * up
-            # (reference: src/sim.cpp:285-289).
-            oz_rows.append(jnp.concatenate([
-                jnp.broadcast_to(apz[None], (r_a - 1, LANE)),
-                (apz + 0.5)[None]], axis=0))
+        # ---- ray dirs -----------------------------------------------------
+        # VIS: target_pos - agent_pos (targets at static slots).
+        def tgt_stack(comp):
+            return jnp.stack([
+                jnp.stack([comp[int(tgt_slots[a, k])]
+                           for k in range(n_tgt)])
+                for a in range(n_a)
+            ])                                              # [A, n_tgt, L]
 
-        dx = jnp.stack(dx_rows)                    # [R, L]
-        dy = jnp.stack(dy_rows)
-        dz = jnp.stack(dz_rows)
-        ox = jnp.concatenate(ox_rows, axis=0)
-        oy = jnp.concatenate(oy_rows, axis=0)
-        oz = jnp.concatenate(oz_rows, axis=0)
+        vdx = tgt_stack(px) - apx
+        vdy = tgt_stack(py) - apy
+        vdz = tgt_stack(pz) - apz
+        # LID: horizontal circle in the agent frame (dz = 0 exactly).
+        fwx2, fwy2 = fwx[:, 0], fwy[:, 0]                   # [A, L]
+        rtx2, rty2 = rtx[:, 0], rty[:, 0]
+        ldx = jnp.stack([ck * rtx2 + sk * fwx2 for ck, sk in lidar_cs],
+                        axis=1)                             # [A, 30, L]
+        ldy = jnp.stack([ck * rty2 + sk * fwy2 for ck, sk in lidar_cs],
+                        axis=1)
+        # ACT: forward from the eye point (dz = 0 exactly).
+        adx, ady = fwx, fwy                                 # [A, 1, L]
+        aoz = apz + 0.5
 
-        # ---- nearest-hit sweep over all primitives ------------------------
-        t_best = jnp.full((n_rays, LANE), _BIG)
-        id_best = jnp.full((n_rays, LANE), -1, jnp.int32)
-        # Self-exclusion: the slot of the agent owning each ray row
-        # (captured numpy constants are not allowed in Pallas kernels, so
-        # build it from an iota).
-        row_agent_slot = agent_lo + \
-            jax.lax.broadcasted_iota(jnp.int32, (n_rays, 1), 0) // r_a
+        # ---- accumulators -------------------------------------------------
+        tv = jnp.full((n_a, n_tgt, LANE), _BIG)
+        iv = jnp.full((n_a, n_tgt, LANE), -1, jnp.int32)
+        tl = jnp.full((n_a, NUM_LIDAR_SAMPLES, LANE), _BIG)
+        ta = jnp.full((n_a, 1, LANE), _BIG)
+        ia = jnp.full((n_a, 1, LANE), -1, jnp.int32)
 
-        def update(t, prim_id, extra_mask, check_excl, t_best, id_best):
-            t = jnp.where(extra_mask, t, _BIG)
-            if check_excl:
-                t = jnp.where(row_agent_slot == prim_id, _BIG, t)
-            better = t < t_best
-            return (jnp.where(better, t, t_best),
-                    jnp.where(better, prim_id, id_best))
+        a_iota = jax.lax.broadcasted_iota(jnp.int32, (n_a, 1, 1), 0)
 
+        # ---- dynamic bodies ----------------------------------------------
         for b in range(n_body):
-            pbx = px[b][None]
-            pby = py[b][None]
-            pbz = pz[b][None]
-            qbw = qw[b][None]
-            qbx = qx[b][None]
-            qby = qy[b][None]
-            qbz = qz[b][None]
-            act = act_ref[b][None] > 0.5
+            pbx, pby, pbz = px[b], py[b], pz[b]             # [L]
+            bact = act_ref[b] > 0.5
+            is_agent = agent_lo <= b < agent_hi
+            is_ramp = ramp_lo <= b < ramp_hi
 
-            lox, loy, loz = _rot_inv(qbw, qbx, qby, qbz,
-                                     ox - pbx, oy - pby, oz - pbz)
-            ldx, ldy, ldz = _rot_inv(qbw, qbx, qby, qbz, dx, dy, dz)
+            # Shared per-agent origin transform (one per row-set origin,
+            # broadcast over the agent's rays).
+            rel = (apx - pbx, apy - pby, apz - pbz)         # [A, 1, L]
+            if is_agent:
+                bqw, bqz = qw[b], qz[b]
+                bc = 1.0 - 2.0 * bqz * bqz
+                bs = 2.0 * bqw * bqz
 
-            if ramp_lo <= b < ramp_hi:
-                t_in = jnp.full((n_rays, LANE), -_BIG)
-                t_out_ = jnp.full((n_rays, LANE), _BIG)
-                miss = jnp.zeros((n_rays, LANE), bool)
-                for (nx, ny, nz), off in _WEDGE_FACES:
-                    denom = nx * ldx + ny * ldy + nz * ldz
-                    num = off - (nx * lox + ny * loy + nz * loz)
-                    small = jnp.abs(denom) < _EPS
-                    t = num / jnp.where(small, _EPS, denom)
-                    t_in = jnp.maximum(
-                        t_in, jnp.where(small | (denom > 0), -_BIG, t))
-                    t_out_ = jnp.minimum(
-                        t_out_, jnp.where(small | (denom < 0), _BIG, t))
-                    miss = miss | (small & (num < 0))
-                hit = (t_out_ >= t_in) & (t_in > _EPS) & ~miss
-                t = jnp.where(hit, t_in, _BIG)
+                def rotb(x, y, z):
+                    # R^T for yaw rotation: x' = c x + s y, y' = -s x + c y.
+                    return (bc * x + bs * y, bc * y - bs * x, z)
             else:
-                hx = he_ref[b, 0][None]
-                hy = he_ref[b, 1][None]
-                hz = he_ref[b, 2][None]
-                t = _slab_t(lox, loy, loz, ldx, ldy, ldz, hx, hy, hz)
+                bq = (qw[b], qx[b], qy[b], qz[b])
 
-            t_best, id_best = update(t, b, act,
-                                     agent_lo <= b < agent_hi,
-                                     t_best, id_best)
+                def rotb(x, y, z):
+                    o = _rot_inv(bq[0], bq[1], bq[2], bq[3], x, y, z)
+                    return o
 
-        # Walls are axis-aligned, so every wall pass shares the same ray
-        # dirs: hoist the 3 slab reciprocals out of the 36-wall loop
-        # (divides are multi-cycle on the VPU; this replaces ~108 divides
-        # per row-set with 3). Semantics identical to _slab_t.
-        small_x = jnp.abs(dx) < _EPS
-        small_y = jnp.abs(dy) < _EPS
-        small_z = jnp.abs(dz) < _EPS
-        inv_dx = 1.0 / jnp.where(small_x, _EPS, dx)
-        inv_dy = 1.0 / jnp.where(small_y, _EPS, dy)
-        inv_dz = 1.0 / jnp.where(small_z, _EPS, dz)
+            lox, loy, loz = rotb(*rel)                      # [A, 1, L]
+            # Eye origin: base + 0.5 * (world z in body frame).
+            if is_agent:
+                ezx, ezy, ezz = 0.0, 0.0, 1.0
+            else:
+                ezx, ezy, ezz = rotb(jnp.zeros_like(pbx),
+                                     jnp.zeros_like(pbx),
+                                     jnp.ones_like(pbx))
+                ezx, ezy, ezz = ezx[None, None], ezy[None, None], \
+                    ezz[None, None]
+            aox = lox + 0.5 * ezx
+            aoy = loy + 0.5 * ezy
+            aoz_l = loz + 0.5 * ezz
+
+            v_d = rotb(vdx, vdy, vdz)                       # [A, n_tgt, L]
+            l_d = rotb(ldx, ldy, jnp.zeros_like(ldx))       # [A, 30, L]
+            a_d = rotb(adx, ady, jnp.zeros_like(adx))       # [A, 1, L]
+
+            if is_ramp:
+                def wedge_t(ox_, oy_, oz_, dx_, dy_, dz_):
+                    t_in = jnp.full(dx_.shape, -_BIG)
+                    t_out_ = jnp.full(dx_.shape, _BIG)
+                    miss = jnp.zeros(dx_.shape, bool)
+                    for (nx, ny, nz), off in _WEDGE_FACES:
+                        denom = nx * dx_ + ny * dy_ + nz * dz_
+                        num = off - (nx * ox_ + ny * oy_ + nz * oz_)
+                        small = jnp.abs(denom) < _EPS
+                        t = num / jnp.where(small, _EPS, denom)
+                        t_in = jnp.maximum(
+                            t_in, jnp.where(small | (denom > 0), -_BIG, t))
+                        t_out_ = jnp.minimum(
+                            t_out_, jnp.where(small | (denom < 0), _BIG, t))
+                        miss = miss | (small & (num < 0))
+                    hit = (t_out_ >= t_in) & (t_in > _EPS) & ~miss
+                    return jnp.where(hit, t_in, _BIG)
+
+                t_v = wedge_t(lox, loy, loz, *v_d)
+                t_l = wedge_t(lox, loy, loz, *l_d)
+                t_a = wedge_t(aox, aoy, aoz_l, *a_d)
+            else:
+                hx, hy, hz = he_ref[b, 0], he_ref[b, 1], he_ref[b, 2]
+                if is_agent:
+                    # Yaw body + dz=0 rays: z slab is a pure mask for
+                    # LID/ACT (local dz stays 0); VIS keeps full 3-D.
+                    t_v = _slab_t(lox, loy, loz, *v_d, hx, hy, hz)
+                    z_ok_l = jnp.abs(loz) <= hz             # [A, 1, L]
+                    z_ok_a = jnp.abs(aoz_l) <= hz
+                    t_l = _slab_t2d(lox, loy, l_d[0], l_d[1], hx, hy)
+                    t_l = jnp.where(z_ok_l, t_l, _BIG)
+                    t_a = _slab_t2d(aox, aoy, a_d[0], a_d[1], hx, hy)
+                    t_a = jnp.where(z_ok_a, t_a, _BIG)
+                else:
+                    t_v = _slab_t(lox, loy, loz, *v_d, hx, hy, hz)
+                    t_l = _slab_t(lox, loy, loz, *l_d, hx, hy, hz)
+                    t_a = _slab_t(aox, aoy, aoz_l, *a_d, hx, hy, hz)
+
+            if is_agent:
+                own = a_iota == (b - agent_lo)
+                t_v = jnp.where(own, _BIG, t_v)
+                t_l = jnp.where(own, _BIG, t_l)
+                t_a = jnp.where(own, _BIG, t_a)
+
+            t_v = jnp.where(bact, t_v, _BIG)
+            t_l = jnp.where(bact, t_l, _BIG)
+            t_a = jnp.where(bact, t_a, _BIG)
+
+            bv = t_v < tv
+            tv = jnp.where(bv, t_v, tv)
+            iv = jnp.where(bv, b, iv)
+            tl = jnp.minimum(tl, t_l)
+            ba = t_a < ta
+            ta = jnp.where(ba, t_a, ta)
+            ia = jnp.where(ba, b, ia)
+
+        # ---- walls --------------------------------------------------------
+        # Reciprocals hoisted (walls share ray dirs); z slab hoisted out of
+        # the whole wall loop (walls share one z extent per world).
+        sm_vx = jnp.abs(vdx) < _EPS
+        sm_vy = jnp.abs(vdy) < _EPS
+        sm_vz = jnp.abs(vdz) < _EPS
+        i_vx = 1.0 / jnp.where(sm_vx, _EPS, vdx)
+        i_vy = 1.0 / jnp.where(sm_vy, _EPS, vdy)
+        i_vz = 1.0 / jnp.where(sm_vz, _EPS, vdz)
+        sm_lx = jnp.abs(ldx) < _EPS
+        sm_ly = jnp.abs(ldy) < _EPS
+        i_lx = 1.0 / jnp.where(sm_lx, _EPS, ldx)
+        i_ly = 1.0 / jnp.where(sm_ly, _EPS, ldy)
+        sm_ax = jnp.abs(adx) < _EPS
+        sm_ay = jnp.abs(ady) < _EPS
+        i_ax = 1.0 / jnp.where(sm_ax, _EPS, adx)
+        i_ay = 1.0 / jnp.where(sm_ay, _EPS, ady)
 
         def wall_axis(o, h, inv_d, small):
             t1 = (-h - o) * inv_d
@@ -247,116 +312,191 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int):
             return (jnp.where(outside, _BIG, near),
                     jnp.where(outside, -_BIG, far))
 
-        for w in range(n_wall):
-            pwx = wp_ref[w, 0][None]
-            pwy = wp_ref[w, 1][None]
-            pwz = wp_ref[w, 2][None]
-            hx = wh2_ref[w, 0][None]
-            hy = wh2_ref[w, 1][None]
-            hz = wh2_ref[w, 2][None]
-            act = wa_ref[w][None] > 0.5
-            n1, f1 = wall_axis(ox - pwx, hx, inv_dx, small_x)
-            n2, f2 = wall_axis(oy - pwy, hy, inv_dy, small_y)
-            n3, f3 = wall_axis(oz - pwz, hz, inv_dz, small_z)
-            tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
-            tmax = jnp.minimum(jnp.minimum(f1, f2), f3)
-            hit = (tmax >= tmin) & (tmin > _EPS)
-            t = jnp.where(hit, tmin, _BIG)
-            t_best, id_best = update(t, n_body + w, act, False,
-                                     t_best, id_best)
+        # Shared z slab from wall slot 0 (uniform-z invariant).
+        wz0 = wp_ref[0, 2][None, None]                      # [1, 1, L]
+        whz0 = wh2_ref[0, 2][None, None]
+        zn_v, zf_v = wall_axis(apz - wz0, whz0, i_vz, sm_vz)
+        z_ok_lw = jnp.abs(apz - wz0) <= whz0                # [A, 1, L]
+        z_ok_aw = jnp.abs(aoz - wz0) <= whz0
 
+        def wall_pass(w_idx, accs, pwx, pwy, hx, hy, wact):
+            tv, iv, tl, ta, ia = accs
+            ox_v = apx - pwx
+            oy_v = apy - pwy
+            n1, f1 = wall_axis(ox_v, hx, i_vx, sm_vx)
+            n2, f2 = wall_axis(oy_v, hy, i_vy, sm_vy)
+            tmin = jnp.maximum(jnp.maximum(n1, n2), zn_v)
+            tmax = jnp.minimum(jnp.minimum(f1, f2), zf_v)
+            hit = (tmax >= tmin) & (tmin > _EPS) & wact
+            t_v = jnp.where(hit, tmin, _BIG)
+
+            n1, f1 = wall_axis(ox_v, hx, i_lx, sm_lx)
+            n2, f2 = wall_axis(oy_v, hy, i_ly, sm_ly)
+            tmin = jnp.maximum(n1, n2)
+            tmax = jnp.minimum(f1, f2)
+            hit = (tmax >= tmin) & (tmin > _EPS) & z_ok_lw & wact
+            t_l = jnp.where(hit, tmin, _BIG)
+
+            n1, f1 = wall_axis(ox_v, hx, i_ax, sm_ax)
+            n2, f2 = wall_axis(oy_v, hy, i_ay, sm_ay)
+            tmin = jnp.maximum(n1, n2)
+            tmax = jnp.minimum(f1, f2)
+            hit = (tmax >= tmin) & (tmin > _EPS) & z_ok_aw & wact
+            t_a = jnp.where(hit, tmin, _BIG)
+
+            bv = t_v < tv
+            tv = jnp.where(bv, t_v, tv)
+            iv = jnp.where(bv, n_body + w_idx, iv)
+            tl = jnp.minimum(tl, t_l)
+            ba = t_a < ta
+            ta = jnp.where(ba, t_a, ta)
+            ia = jnp.where(ba, n_body + w_idx, ia)
+            return tv, iv, tl, ta, ia
+
+        accs = (tv, iv, tl, ta, ia)
+        if dynamic_walls:
+            # Trip count = the batch's max active-wall count, computed
+            # outside the kernel and passed through SMEM (slots are
+            # densely packed; lanes with fewer walls are masked by wact).
+            bound = nwb_ref[0]
+
+            def wall_body(w, accs):
+                pwx = wp_ref[w, 0]
+                pwy = wp_ref[w, 1]
+                hx = wh2_ref[w, 0]
+                hy = wh2_ref[w, 1]
+                wact = wa_ref[w] > 0.5
+                return wall_pass(w, accs, pwx, pwy, hx, hy, wact)
+
+            accs = jax.lax.fori_loop(0, bound, wall_body, accs)
+        else:
+            for w in range(n_wall):
+                accs = wall_pass(w, accs, wp_ref[w, 0], wp_ref[w, 1],
+                                 wh2_ref[w, 0], wh2_ref[w, 1],
+                                 wa_ref[w] > 0.5)
+        tv, iv, tl, ta, ia = accs
+
+        # ---- planes -------------------------------------------------------
+        # LID/ACT rays are horizontal: drop the dz term from the denom.
         for p in range(n_plane):
-            nx = pn_ref[p, 0][None]
-            ny = pn_ref[p, 1][None]
-            nz = pn_ref[p, 2][None]
-            sx = pp_ref[p, 0][None]
-            sy = pp_ref[p, 1][None]
-            sz = pp_ref[p, 2][None]
-            act = pa_ref[p][None] > 0.5
-            denom = dx * nx + dy * ny + dz * nz
-            num = (sx - ox) * nx + (sy - oy) * ny + (sz - oz) * nz
-            t = num / jnp.where(jnp.abs(denom) < _EPS, -_EPS, denom)
-            hit = (denom < -_EPS) & (t > _EPS)
-            t = jnp.where(hit, t, _BIG)
-            t_best, id_best = update(t, n_body + n_wall + p, act, False,
-                                     t_best, id_best)
+            nx, ny, nz = pn_ref[p, 0], pn_ref[p, 1], pn_ref[p, 2]
+            sx, sy, sz = pp_ref[p, 0], pp_ref[p, 1], pp_ref[p, 2]
+            pact = pa_ref[p] > 0.5
+            num_v = ((sx - apx) * nx + (sy - apy) * ny + (sz - apz) * nz)
+            num_a = ((sx - apx) * nx + (sy - apy) * ny + (sz - aoz) * nz)
+
+            def plane_t(denom, num):
+                t = num / jnp.where(jnp.abs(denom) < _EPS, -_EPS, denom)
+                hit = (denom < -_EPS) & (t > _EPS) & pact
+                return jnp.where(hit, t, _BIG)
+
+            t_v = plane_t(vdx * nx + vdy * ny + vdz * nz, num_v)
+            t_l = plane_t(ldx * nx + ldy * ny, num_v)
+            t_a = plane_t(adx * nx + ady * ny, num_a)
+
+            pid = n_body + n_wall + p
+            bv = t_v < tv
+            tv = jnp.where(bv, t_v, tv)
+            iv = jnp.where(bv, pid, iv)
+            tl = jnp.minimum(tl, t_l)
+            ba = t_a < ta
+            ta = jnp.where(ba, t_a, ta)
+            ia = jnp.where(ba, pid, ia)
 
         # Per-row max ranges are applied in the consume phase below (the
         # range check on the winning hit is equivalent to pre-filtering:
         # any in-range hit is nearer than any out-of-range one).
 
         # ---- consume: vis masks, lidar, action hits, reward flag ----------
-        nab = nab_ref[0]                                    # [L] f32
-        nar = nar_ref[0]
-        act_t_rows, act_id_rows = [], []
-        rew_any = jnp.zeros((LANE,), bool)
-        for a in range(n_a):
-            base = a * r_a
-            a_act = aact_ref[a] > 0.5                       # [L]
+        nab = nab_ref[0][None, None]                        # [1, 1, L]
+        nar = nar_ref[0][None, None]
+        a_act = arows([aact_ref[a] for a in range(n_a)])    # [A, 1, L] f32
 
-            # Visibility: nearest hit is the target + cone + validity
-            # (env/observations.py::consume_obs_sweep semantics).
-            t_v = dx[base:base + n_tgt]
-            u_v = dy[base:base + n_tgt]
-            w_v = dz[base:base + n_tgt]
-            dist = jnp.sqrt(t_v * t_v + u_v * u_v + w_v * w_v)
-            fx, fy, fz = a_fwd[a]
-            dot = t_v * fx[None] + u_v * fy[None] + w_v * fz[None]
-            in_cone = dot >= _COS_HALF_FOV * jnp.maximum(dist, 1e-9)
+        # Visibility: nearest hit is the target + cone + validity
+        # (env/observations.py::consume_obs_sweep semantics).
+        dist = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+        dot = vdx * fwx + vdy * fwy                         # fwd z = 0
+        in_cone = dot >= _COS_HALF_FOV * jnp.maximum(dist, 1e-9)
 
-            # Mosaic cannot concatenate i1 vregs — stack as f32 rows.
-            hits_f = jnp.stack([
-                ((id_best[base + k] == int(tgt_slots[a, k])) &
-                 (t_best[base + k] <= 1.0)).astype(jnp.float32)
-                for k in range(n_tgt)
-            ])
+        # Static target-slot grid from iotas (captured numpy arrays are
+        # not allowed as Pallas constants).
+        a_i = jax.lax.broadcasted_iota(jnp.int32, (n_a, n_tgt, 1), 0)
+        k_i = jax.lax.broadcasted_iota(jnp.int32, (n_a, n_tgt, 1), 1)
+        oth = jnp.minimum(k_i + (k_i >= a_i), n_a - 1)
+        slot_grid = jnp.where(
+            k_i < t_agent_cols, agent_lo + oth,
+            jnp.where(k_i < t_agent_cols + cfg.max_boxes,
+                      box_lo + (k_i - t_agent_cols),
+                      ramp_lo + (k_i - t_agent_cols - cfg.max_boxes)))
+        hits_f = ((iv == slot_grid) & (tv <= 1.0)).astype(jnp.float32)
 
-            valid_rows = []
-            for k in range(t_agent_cols):
-                j = others[a][k]
-                if j < n_a:
-                    valid_rows.append(aact_ref[j])
-                else:
-                    valid_rows.append(jnp.zeros((LANE,)))
-            for k in range(cfg.max_boxes):
-                valid_rows.append((nab > float(k)).astype(jnp.float32))
-            for k in range(cfg.max_ramps):
-                valid_rows.append((nar > float(k)).astype(jnp.float32))
-            valid_f = jnp.stack(valid_rows)                 # [n_tgt, L]
+        # Validity: other-agent slots active (static permutation rows),
+        # boxes/ramps within the active counts.
+        o_act = jnp.stack([
+            jnp.stack([(aact_ref[others[a][k]] if others[a][k] < n_a
+                        else jnp.zeros((LANE,)))
+                       for k in range(t_agent_cols)])
+            for a in range(n_a)
+        ])                                                  # [A, 5, L]
+        pad_cols = n_tgt - t_agent_cols
+        o_act_full = jnp.concatenate(
+            [o_act, jnp.zeros((n_a, pad_cols, LANE))], axis=1)
+        ent_valid = jnp.where(
+            k_i < t_agent_cols, o_act_full,
+            jnp.where(k_i < t_agent_cols + cfg.max_boxes,
+                      (nab > (k_i - t_agent_cols).astype(jnp.float32))
+                      .astype(jnp.float32),
+                      (nar > (k_i - t_agent_cols - cfg.max_boxes)
+                       .astype(jnp.float32)).astype(jnp.float32)))
 
-            seen_f = (hits_f * in_cone.astype(jnp.float32) * valid_f *
-                      a_act[None].astype(jnp.float32))
-            vis_out[a] = seen_f
+        seen_f = (hits_f * in_cone.astype(jnp.float32) * ent_valid * a_act)
+        vis_out[:] = seen_f
 
-            # Lidar depths: 0 on miss/out-of-range, zeroed when inactive.
-            l0 = base + n_tgt
-            lid_t = t_best[l0:l0 + NUM_LIDAR_SAMPLES]
-            lid_id = id_best[l0:l0 + NUM_LIDAR_SAMPLES]
-            lid = jnp.where((lid_id >= 0) & (lid_t <= LIDAR_MAX_RANGE),
-                            lid_t, 0.0)
-            lid_out[a] = lid * a_act[None].astype(jnp.float32)
+        # Lidar depths: 0 on miss/out-of-range, zeroed when inactive
+        # (t < _BIG iff some primitive was hit — ids are not tracked).
+        lid_out[:] = jnp.where((tl < _BIG) & (tl <= LIDAR_MAX_RANGE),
+                               tl, 0.0) * a_act
 
-            a_t = t_best[base + r_a - 1]
-            a_id = id_best[base + r_a - 1]
-            in_range = a_t <= INTERACT_RAY_LEN
-            act_t_rows.append(jnp.where(in_range, a_t, _BIG))
-            act_id_rows.append(jnp.where(in_range, a_id, -1))
+        in_range = ta <= INTERACT_RAY_LEN
+        actt_out[:] = jnp.where(in_range, ta, _BIG)[:, 0]
+        actid_out[:] = jnp.where(in_range, ia, -1)[:, 0]
 
-            # Reward flag: seeker observer sees hider target column
-            # (AGENT_SEEKER = 0, AGENT_HIDER = 1).
-            is_seeker = atype_ref[a] < 0.5
-            for k in range(t_agent_cols):
-                j = others[a][k]
-                if j < n_a:
-                    col_hider = atype_ref[j] > 0.5
-                    rew_any = rew_any | ((seen_f[k] > 0.5) & is_seeker &
-                                         col_hider)
-
-        actt_out[:] = jnp.stack(act_t_rows)
-        actid_out[:] = jnp.stack(act_id_rows)
-        rew_out[:] = rew_any[None].astype(jnp.float32)
+        # Reward flag: any seeker observer sees any hider target column
+        # (AGENT_SEEKER = 0, AGENT_HIDER = 1).
+        is_seeker = arows([atype_ref[a] for a in range(n_a)]) < 0.5
+        col_hider = jnp.stack([
+            jnp.stack([(atype_ref[others[a][k]] if others[a][k] < n_a
+                        else jnp.zeros((LANE,)))
+                       for k in range(t_agent_cols)])
+            for a in range(n_a)
+        ]) > 0.5                                            # [A, 5, L]
+        seen_agents = seen_f[:, :t_agent_cols] > 0.5
+        rew = jnp.any(seen_agents & is_seeker & col_hider, axis=(0, 1))
+        rew_out[:] = rew[None].astype(jnp.float32)
 
     return kernel
+
+
+def _slab_t2d(ox, oy, dx, dy, hx, hy):
+    """2-D slab entry-t for horizontal rays (dz = 0); +inf on miss."""
+    def axis(o, d, h):
+        small = jnp.abs(d) < _EPS
+        sd = jnp.where(small, _EPS, d)
+        t1 = (-h - o) / sd
+        t2 = (h - o) / sd
+        near = jnp.minimum(t1, t2)
+        far = jnp.maximum(t1, t2)
+        outside = small & (jnp.abs(o) > h)
+        near = jnp.where(outside, _BIG, near)
+        far = jnp.where(outside, -_BIG, far)
+        return near, far
+
+    n1, f1 = axis(ox, dx, hx)
+    n2, f2 = axis(oy, dy, hy)
+    tmin = jnp.maximum(n1, n2)
+    tmax = jnp.minimum(f1, f2)
+    hit = (tmax >= tmin) & (tmin > _EPS)
+    return jnp.where(hit, tmin, _BIG)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -402,6 +542,7 @@ def _fused_pallas(cfg: EnvConfig, interpret: bool, n_wall: int,
         wspec(n_agents),        # agent active
         wspec(1),               # num active boxes
         wspec(1),               # num active ramps
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # max active walls (i32 [1])
     ]
     out_specs = [
         wspec(n_body, 3), wspec(n_body, 4), wspec(n_body, 3),
@@ -468,6 +609,7 @@ def fused_step_packed(cfg: EnvConfig, ps, ext_force, ext_torque,
         f32(grab.target), f32(grab.r2), f32(grab.rel_q), f32(grab.sep),
         f32(ps.agent_type), f32(ps.agent_active),
         f32(ps.num_active_boxes)[None], f32(ps.num_active_ramps)[None],
+        _wall_bound(statics.wall_active, axis=0),
     )
     (pos, quat, vel, omega, vis, lid, act_t, act_id, rew) = _fused_pallas(
         cfg, interpret, statics.wall_pos.shape[0],
@@ -519,6 +661,7 @@ def fused_step(cfg: EnvConfig, state, ext_force, ext_torque,
         wmin(state.agent_active.astype(jnp.float32)),
         wmin(state.num_active_boxes.astype(jnp.float32))[None],
         wmin(state.num_active_ramps.astype(jnp.float32))[None],
+        _wall_bound(statics.wall_active, axis=1),
     )
     (pos, quat, vel, omega, vis, lid, act_t, act_id, rew) = _fused_pallas(
         cfg, interpret, statics.wall_pos.shape[1],

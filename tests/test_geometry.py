@@ -90,3 +90,29 @@ def test_doors_create_gaps(wallsets):
                     if 0.01 < gap < 0.3:
                         found_gap = True
     assert found_gap
+
+
+def test_walls_share_one_z_slab(wallsets):
+    """Kernel contract (ops/pallas_step.py): every wall slot shares one z
+    center/half-extent per world, so the fused kernel hoists the wall-loop
+    z slab from slot 0. Debug fixtures must uphold it too."""
+    from marl_hideandseek_tpu.config import EnvConfig
+    from marl_hideandseek_tpu.env import levelgen
+
+    ws = geometry.scale_walls(wallsets, -ARENA_HALF, ARENA_HALF)
+    pos, half, act = jax.vmap(geometry.walls_to_obbs)(ws)
+    pos, half = np.asarray(pos), np.asarray(half)
+    assert (pos[..., 2] == pos[..., :1, 2]).all()
+    assert (half[..., 2] == half[..., :1, 2]).all()
+
+    cfg = EnvConfig(num_worlds=1)
+    for level in range(2, 9):
+        st = levelgen.generate_world(
+            cfg, jnp.zeros((2,), jnp.uint32), jnp.zeros((2,), jnp.uint32),
+            jnp.int32(level), jnp.int32(1), jnp.int32(1), jnp.array(False))
+        wp = np.asarray(st.statics.wall_pos)
+        wh = np.asarray(st.statics.wall_half_ext)
+        wa = np.asarray(st.statics.wall_active)
+        if wa.any():
+            assert (wp[wa, 2] == wp[0, 2]).all(), level
+            assert (wh[wa, 2] == wh[0, 2]).all(), level
