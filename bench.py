@@ -98,13 +98,25 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
 
 
 def main():
+    # Reference protocol: 16K worlds x 1920 measured steps
+    # (/root/reference/README.md:39, scripts/benchmark.py:89-92).
     num_worlds = int(os.environ.get("BENCH_WORLDS", 16384))
-    num_steps = int(os.environ.get("BENCH_STEPS", 240))
+    num_steps = int(os.environ.get("BENCH_STEPS", 1920))
     chunk = int(os.environ.get("BENCH_CHUNK", 40))
     reset_chance = float(os.environ.get("BENCH_RESET_CHANCE", 0.0))
 
     steps_per_sec = bench_run(num_worlds, num_steps,
                               reset_chance=reset_chance, chunk=chunk)
+    # The tunneled TPU backend very occasionally returns from
+    # block_until_ready without a real device roundtrip, reporting an
+    # impossible throughput (observed: 2.6e9 steps/s on a chip whose
+    # speed-of-light is ~2e6). Re-measure when the number is beyond any
+    # plausible single-chip rate.
+    retries = 0
+    while steps_per_sec > 100e6 and retries < 3:
+        retries += 1
+        steps_per_sec = bench_run(num_worlds, num_steps,
+                                  reset_chance=reset_chance, chunk=chunk)
     suffix = f"_reset{reset_chance}" if reset_chance else ""
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}worlds_2v2{suffix}",

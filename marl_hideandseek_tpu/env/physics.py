@@ -403,34 +403,29 @@ def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
     imp = lam[..., None] * n   # pushes a along +n
 
     if pos_prev is not None:
-        # Tangential drift of the contact point over this substep:
-        # dp = (p_a_now - p_a_prev) - (p_b_now - p_b_prev). Both "now"
-        # points coincide at p, so dp = p_prev_b - p_prev_a; the static
-        # correction pushes a along -dp to cancel the drift. Uses the same
-        # per-kind sample point as the refresh (inset for wall/pair).
+        # Tangential drift of the contact point over this substep,
+        # measured against a STATIONARY neighbor: dp = p_now - p_prev_a.
+        # Exact for plane/wall contacts and for pairs whose neighbor is
+        # at rest (the stacking/fort cases static friction exists for);
+        # a moving carrier's drag is approximated away, which halves the
+        # pass's routing cost. The static correction pushes a along -dp.
+        # Uses the same per-kind sample point as the refresh.
         v_in = man.v_local - VERT_INSET * jnp.sign(man.v_local)
         is_plane_k = (man.kind == KIND_PLANE)[..., None]
         v_eval = jnp.where(is_plane_k, man.v_local, v_in)
         p_prev_a = pos_prev[:, None, :] + math3d.quat_rotate(
             quat_prev[:, None, :], v_eval)
-        nb_pos_pv = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, pos_prev)
-        nb_quat_pv_r = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, quat_prev)
-        nb_quat_pv = jnp.where(is_pair[..., None], nb_quat_pv_r,
-                               jnp.array([1.0, 0.0, 0.0, 0.0]))
-        p_prev_b = jnp.where(
-            is_pair[..., None],
-            nb_pos_pv + math3d.quat_rotate(nb_quat_pv, p_l), p)
-        dp = p_prev_b - p_prev_a
+        dp = p - p_prev_a
         dpt = dp - jnp.sum(dp * n, axis=-1, keepdims=True) * n
         dpt_len = jnp.linalg.norm(dpt, axis=-1)
         t_dir = dpt / jnp.maximum(dpt_len, 1e-9)[..., None]
 
+        # Generalized tangential mass: a-side angular term only (the
+        # b-side term is identically zero for plane/wall contacts, and
+        # pair corrections are owner-applied below).
         rxt_a = jnp.cross(r_a, t_dir)
-        rxt_b = jnp.cross(r_b, t_dir)
         w_t = (w_lin[:, None] + nb_w +
                jnp.sum(rxt_a * _apply_inv_inertia(q_a, ii_a, rxt_a),
-                       axis=-1) +
-               jnp.sum(rxt_b * _apply_inv_inertia(nb_quat, nb_ii, rxt_b),
                        axis=-1))
         lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
         mu_s = jnp.where(is_pair, MU_S_BODY, MU_S_STATIC)
@@ -440,27 +435,29 @@ def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
     else:
         imp_t = jnp.zeros_like(imp)
 
-    def accumulate(impulse):
-        d_a = jnp.sum(impulse, axis=1) * w_lin[:, None]
-        r_acc = jnp.sum(
-            _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, impulse)), axis=1)
-        i_b = -impulse * nb_w[..., None]
-        a_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -impulse))
-        return (d_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, i_b),
-                r_acc + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, a_b))
+    dpos_a = jnp.sum(imp, axis=1) * w_lin[:, None]
+    drot_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
+                     axis=1)
+    imp_b = -imp * nb_w[..., None]
+    ang_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -imp))
+    dpos = dpos_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, imp_b)
+    drot = drot_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, ang_b)
 
-    # Normal corrections are count-normalized (Jacobi averaging); the
-    # static-friction corrections are NOT: for a symmetric resting face
-    # the per-contact angular responses cancel, so averaging would only
-    # cancel ~invM/w_t of the drift and the body creeps under any force.
-    # Unnormalized application restores full cancellation and stays
-    # bounded by the per-contact static cone clamp above.
-    dpos, drot = accumulate(imp)
-    dpos_t, drot_t = accumulate(imp_t)
+    # Static-friction corrections: UNNORMALIZED (for a symmetric resting
+    # face the per-contact angular responses cancel, so Jacobi averaging
+    # would only cancel ~invM/w_t of the drift and the body creeps under
+    # any force; unnormalized application restores full cancellation and
+    # stays bounded by the static cone clamp above) and applied to the
+    # OWNING body only: the neighbor's reaction comes from its own
+    # reciprocal contact entries (its vertices vs this body's SDF), which
+    # halves the routing cost of the pass.
+    dpos_t = jnp.sum(imp_t, axis=1) * w_lin[:, None]
+    drot_t = jnp.sum(
+        _apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp_t)), axis=1)
 
     m_f = mask.astype(pos.dtype)
     cnt = jnp.sum(m_f, axis=1) + jnp.einsum("bcB,bc->B", man.nb_onehot, m_f)
-    return dpos, drot, cnt, lam, dpos_t, drot_t
+    return dpos, drot, cnt, lam, dpos_t, drot_t, w_sum
 
 
 def _contact_friction(man: Manifold, pos, quat, vel, omega, w_lin, inv_I,
@@ -527,7 +524,7 @@ def _contact_normal_vel(man: Manifold, pos, quat, vel, omega,
 
 
 def _contact_restitution(man: Manifold, pos, quat, vel, omega, w_lin,
-                         inv_I, p, n, mask, nb_pos, nb_quat, lam,
+                         inv_I, p, n, mask, nb_pos, lam, w_n,
                          vn_pre, e, h):
     """XPBD restitution velocity pass: drive the post-solve normal
     velocity to -e * vn_pre for contacts that came in faster than the
@@ -536,38 +533,23 @@ def _contact_restitution(man: Manifold, pos, quat, vel, omega, w_lin,
     Runs for e = 0 too: the position solve converts impact penetration
     into outward velocity (an artificial near-elastic bounce); with
     e = 0 this pass cancels that reconstructed velocity, which is the
-    perfectly-inelastic reference behavior. Corrections are applied
-    UNNORMALIZED (see _contact_solve on Jacobi averaging): exact for
-    single contacts and symmetric faces, self-limiting otherwise."""
-    is_pair = man.kind == KIND_PAIR
-    nb_w = jnp.einsum("bcB,B->bc", man.nb_onehot, w_lin) * is_pair
-    nb_ii = jnp.einsum("bcB,Bd->bcd", man.nb_onehot, inv_I) * \
-        is_pair[..., None]
-
+    perfectly-inelastic reference behavior. Like the static-friction
+    pass: unnormalized, owning-body-only application (the neighbor's
+    reaction comes from its reciprocal entries), and it reuses the
+    position solve's generalized normal mass w_n."""
     vn_now = _contact_normal_vel(man, pos, quat, vel, omega, p, n, nb_pos)
     r_a = p - pos[:, None, :]
-    r_b = p - nb_pos
     q_a = quat[:, None, :]
     ii_a = inv_I[:, None, :]
-    rxn_a = jnp.cross(r_a, n)
-    rxn_b = jnp.cross(r_b, n)
-    w_n = (w_lin[:, None] + nb_w +
-           jnp.sum(rxn_a * _apply_inv_inertia(q_a, ii_a, rxn_a), axis=-1) +
-           jnp.sum(rxn_b * _apply_inv_inertia(nb_quat, nb_ii, rxn_b),
-                   axis=-1))
     thresh = 2.0 * 9.8 * h
     need = mask & (lam > 0.0) & (vn_pre < -thresh) & (w_n > 1e-9)
     j = jnp.where(need,
                   (-e * vn_pre - vn_now) / jnp.maximum(w_n, 1e-9), 0.0)
     imp = j[..., None] * n
 
-    dvel_a = jnp.sum(imp, axis=1) * w_lin[:, None]
-    dom_a = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
-                    axis=1)
-    imp_b = -imp * nb_w[..., None]
-    ang_b = _apply_inv_inertia(nb_quat, nb_ii, jnp.cross(r_b, -imp))
-    dvel = dvel_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, imp_b)
-    dom = dom_a + jnp.einsum("bcB,bcd->Bd", man.nb_onehot, ang_b)
+    dvel = jnp.sum(imp, axis=1) * w_lin[:, None]
+    dom = jnp.sum(_apply_inv_inertia(q_a, ii_a, jnp.cross(r_a, imp)),
+                  axis=1)
     return dvel, dom
 
 
@@ -688,7 +670,7 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         # --- refresh + solve the persistent manifold -------------------
         p, n, depth, mask, nb_pos, nb_quat, p_l = _refresh_contacts(
             cfg, man, pos_i, quat_i)
-        dpos, drot, cnt, lam, dpos_t, drot_t = _contact_solve(
+        dpos, drot, cnt, lam, dpos_t, drot_t, w_n = _contact_solve(
             man, pos_i, quat_i, eff_inv_m, eff_inv_I, p, n, depth, mask,
             nb_pos, nb_quat, pos_prev, quat_prev, p_l)
         norm = 1.0 / jnp.maximum(cnt, 1.0)
@@ -705,24 +687,29 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         dq = math3d.quat_mul(quat_c, math3d.quat_inv(quat_prev))
         omega_n = 2.0 / h * dq[:, 1:] * jnp.sign(dq[:, :1])
 
-        # --- velocity pass: dynamic friction --------------------------
+        # --- velocity passes: dynamic friction + restitution ----------
+        # Both computed from the PRE-pass velocities and applied together
+        # (friction is tangential, so it changes the normal velocity the
+        # restitution pass targets only through second-order angular
+        # coupling). Restitution with e = 0 cancels the artificial
+        # position-solve bounce on fast impacts.
         dvel, dom, fcnt = _contact_friction(
             man, pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
             p, n, mask, nb_pos, nb_quat, lam, h)
         fnorm = 1.0 / jnp.maximum(fcnt, 1.0)
-        vel_n = vel_n + dvel * fnorm[:, None]
-        omega_n = omega_n + dom * fnorm[:, None]
-
-        # --- velocity pass: restitution (e = 0 cancels the artificial
-        # position-solve bounce on fast impacts) ------------------------
-        vn_pre = _contact_normal_vel(
-            man, pos_i, quat_i, vel_i, omega_i, p, n, nb_pos)
+        # Pre-solve approach velocity, owning body vs a stationary
+        # neighbor (same approximation as the static-friction drift; the
+        # restitution target for the default e=0 is 0 regardless, so
+        # vn_pre only gates fast-impact detection).
+        r_pre = p - pos_i[:, None, :]
+        v_pre = (vel_i[:, None, :] +
+                 jnp.cross(omega_i[:, None, :], r_pre))
+        vn_pre = jnp.sum(v_pre * n, axis=-1)
         dvel_r, dom_r = _contact_restitution(
             man, pos_c, quat_c, vel_n, omega_n, eff_inv_m, eff_inv_I,
-            p, n, mask, nb_pos, nb_quat, lam, vn_pre,
-            cfg.restitution, h)
-        vel_n = vel_n + dvel_r
-        omega_n = omega_n + dom_r
+            p, n, mask, nb_pos, lam, w_n, vn_pre, cfg.restitution, h)
+        vel_n = vel_n + dvel * fnorm[:, None] + dvel_r
+        omega_n = omega_n + dom * fnorm[:, None] + dom_r
 
         # Frozen bodies keep zero velocity.
         vel_n = jnp.where(dynamic[:, None], vel_n, 0.0)

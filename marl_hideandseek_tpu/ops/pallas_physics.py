@@ -485,42 +485,33 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
 
             # ---- positional static friction (physics.py::_contact_solve:
             # cancel tangential contact drift inside the static cone;
-            # applied UNNORMALIZED — Jacobi averaging would cancel only
-            # ~invM/w_t of the drift on symmetric faces).
+            # unnormalized; stationary-neighbor drift; a-side-only w_t).
             v_eval = tuple(jnp.where(is_plane, a, b)
                            for a, b in zip(vloc, vloc_in))
             pa_pv = tuple(c[:, None, :] for c in (px, py, pz))
             qa_pv = tuple(c[:, None, :] for c in (qw, qx, qy, qz))
             p_prev_a = _add(pa_pv, _qrot(qa_pv, v_eval))
-            nb_pos_pv = tuple(route(c) for c in (px, py, pz))
-            nb_q_pv_r = tuple(route(c) for c in (qw, qx, qy, qz))
-            nb_q_pv = (jnp.where(is_pair, nb_q_pv_r[0], 1.0),
-                       jnp.where(is_pair, nb_q_pv_r[1], 0.0),
-                       jnp.where(is_pair, nb_q_pv_r[2], 0.0),
-                       jnp.where(is_pair, nb_q_pv_r[3], 0.0))
-            p_prev_b_pr = _add(nb_pos_pv, _qrot(nb_q_pv, p_l))
-            p_prev_b = tuple(jnp.where(is_pair, a, b)
-                             for a, b in zip(p_prev_b_pr, p))
-            dp_f = _sub(p_prev_b, p_prev_a)
+            dp_f = _sub(p, p_prev_a)
             dpn = _dot(dp_f, n)
             dpt = _sub(dp_f, _scale(n, dpn))
             dpt_len = jnp.sqrt(_dot(dpt, dpt) + 1e-18)
             t_dir = _scale(dpt, 1.0 / jnp.maximum(dpt_len, 1e-9))
             rxt_a = _cross(r_a, t_dir)
-            rxt_b = _cross(r_b, t_dir)
             w_t = (inv_m[:, None, :] + nb_w +
-                   _dot(rxt_a, _apply_invI(qa, iIa, rxt_a)) +
-                   _dot(rxt_b, _apply_invI(nb_quat, nb_invI, rxt_b)))
+                   _dot(rxt_a, _apply_invI(qa, iIa, rxt_a)))
             lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
             mu_s_c = jnp.where(is_pair, jphys.MU_S_BODY, jphys.MU_S_STATIC)
             static_ok = (mask & (lam > 0.0) & (w_t > 1e-9) &
                          (lam_t <= mu_s_c * lam))
             imp_t = _scale(t_dir, -jnp.where(static_ok, lam_t, 0.0))
+            # Owning-body-only application (physics.py rationale).
+            dpos_t = tuple(jnp.sum(c, axis=1) * inv_m for c in imp_t)
+            ang_t = _apply_invI(qa, iIa, _cross(r_a, imp_t))
+            drot_t = tuple(jnp.sum(c, axis=1) for c in ang_t)
 
             m_f = mask.astype(jnp.float32)
             cnt_a = jnp.sum(m_f, axis=1)               # [B, L]
             dpos, drot = accumulate(imp)
-            dpos_t, drot_t = accumulate(imp_t)
             cnt = cnt_a + scatter(m_f)
 
             norm = 1.0 / jnp.maximum(cnt, 1.0)
@@ -685,43 +676,25 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
 
             # ---- velocity pass: restitution ----------------------------
             # e = 0 cancels the artificial position-solve bounce on fast
-            # impacts (physics.py::_contact_restitution; unnormalized).
+            # impacts (physics.py::_contact_restitution). Reuses the
+            # friction pass's vn (pre-friction normal velocity) and the
+            # position solve's w_sum; owning-body-only application.
+            # Owning body vs stationary neighbor (physics.py vn_pre).
             v_pre_b = tuple(c[:, None, :] for c in (vx1, vy1, vz1))
             o_pre_b = tuple(c[:, None, :] for c in (ox1, oy1, oz1))
-            nb_v_pre = tuple(route(c) for c in (vx1, vy1, vz1))
-            nb_o_pre = tuple(route(c) for c in (ox1, oy1, oz1))
             v_pre_a = _add(v_pre_b, _cross(o_pre_b, _sub(p, pa)))
-            v_pre_nb = _add(nb_v_pre, _cross(nb_o_pre, r_b))
-            vn_pre = _dot(_sub(v_pre_a, v_pre_nb), n)
+            vn_pre = _dot(v_pre_a, n)
 
-            vel3_b = tuple(c[:, None, :] for c in (vx3, vy3, vz3))
-            om3_b = tuple(c[:, None, :] for c in (ox3, oy3, oz3))
-            nb_v3 = tuple(route(c) for c in (vx3, vy3, vz3))
-            nb_o3 = tuple(route(c) for c in (ox3, oy3, oz3))
-            v_now_a = _add(vel3_b, _cross(om3_b, r_a2))
-            v_now_b = _add(nb_v3, _cross(nb_o3, r_b2))
-            vn_now = _dot(_sub(v_now_a, v_now_b), n)
-
-            rxn_a3 = _cross(r_a2, n)
-            rxn_b3 = _cross(r_b2, n)
-            w_n3 = (inv_m[:, None, :] + nb_w +
-                    _dot(rxn_a3, _apply_invI(qa_c, iIa, rxn_a3)) +
-                    _dot(rxn_b3, _apply_invI(nb_quat, nb_invI, rxn_b3)))
             need_r = (mask & (lam > 0.0) &
-                      (vn_pre < -2.0 * 9.8 * h) & (w_n3 > 1e-9))
+                      (vn_pre < -2.0 * 9.8 * h) & (w_sum > 1e-9))
             e_rest = cfg.restitution
             jr = jnp.where(need_r,
-                           (-e_rest * vn_pre - vn_now) /
-                           jnp.maximum(w_n3, 1e-9), 0.0)
+                           (-e_rest * vn_pre - vn) /
+                           jnp.maximum(w_sum, 1e-9), 0.0)
             rimp = _scale(n, jr)
-            dvr_a = tuple(jnp.sum(c, axis=1) * inv_m for c in rimp)
+            dvr = tuple(jnp.sum(c, axis=1) * inv_m for c in rimp)
             rang_a = _apply_invI(qa_c, iIa, _cross(r_a2, rimp))
-            domr_a = tuple(jnp.sum(c, axis=1) for c in rang_a)
-            rimp_b = _scale(rimp, -nb_w)
-            rang_b = _apply_invI(nb_quat, nb_invI,
-                                 _cross(r_b2, _scale(rimp, -1.0)))
-            dvr = tuple(a + scatter(b) for a, b in zip(dvr_a, rimp_b))
-            domr = tuple(a + scatter(b) for a, b in zip(domr_a, rang_b))
+            domr = tuple(jnp.sum(c, axis=1) for c in rang_a)
             vx3 = vx3 + dvr[0]
             vy3 = vy3 + dvr[1]
             vz3 = vz3 + dvr[2]

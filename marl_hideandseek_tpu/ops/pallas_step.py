@@ -72,7 +72,7 @@ def _wall_bound(wall_active, axis: int) -> jnp.ndarray:
 
 
 def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
-                       dynamic_walls: bool = True):
+                       dynamic_walls: bool = False):
     """Fused physics + ray-sweep kernel.
 
     Sweep layout (round-3 work-cut): three row-sets stacked per agent —

@@ -38,7 +38,16 @@ def eval_load_ckpt(policy: Policy, ckpt_path: str,
     params = raw["params"]
     past = raw.get("past_params", {})
     elo = raw["elo"]
-    obs_stats = raw["obs_stats"]
+    # Target-less orbax restore yields plain dicts; rebuild the typed
+    # normalizer state the policy's normalize() expects.
+    from marl_hideandseek_tpu.models.normalizer import NormalizerState
+
+    os_raw = raw["obs_stats"]
+    if isinstance(os_raw, dict) and "mean" in os_raw:
+        obs_stats = NormalizerState(
+            mean=os_raw["mean"], var=os_raw["var"], count=os_raw["count"])
+    else:
+        obs_stats = os_raw
 
     if not train_only and jax.tree_util.tree_leaves(past):
         params = jax.tree.map(

@@ -44,6 +44,9 @@ def main():
     p.add_argument("--blocks", type=int, default=5)
     p.add_argument("--block-size", type=int, default=10)
     p.add_argument("--no-pbt", action="store_true")
+    p.add_argument("--num-minibatches", type=int, default=1,
+                   help="PPO minibatches; raise to fit large world counts "
+                        "(peak activation memory divides by this)")
     p.add_argument("--trace-dir", type=str, default=None,
                    help="write a jax.profiler trace of one block")
     args = p.parse_args()
@@ -77,7 +80,8 @@ def main():
         steps_per_update=40,
         num_bptt_chunks=4,
         lr=lr, gamma=0.998, gae_lambda=0.95,
-        algo=PPOConfig(num_mini_batches=1, clip_coef=0.2,
+        algo=PPOConfig(num_mini_batches=args.num_minibatches,
+                       clip_coef=0.2,
                        value_loss_coef=1.0, entropy_coef=ent,
                        max_grad_norm=5, num_epochs=2,
                        clip_value_loss=False),
