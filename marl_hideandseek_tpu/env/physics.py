@@ -59,8 +59,8 @@ CONTACT_MARGIN = 1.5  # near-contact tracking distance at the predicted pose
 # centre-distance lower bound). This cuts the per-vertex sweep from
 # (planes + all walls + all bodies) to (planes + K + K) — the manifold
 # build is the single largest cost of the physics step on TPU.
-K_WALL = 4
-K_PAIR = 4
+K_WALL = 3
+K_PAIR = 3
 # Wedge vertices reach sqrt(1 + 4 + 1) from the body origin.
 _WEDGE_RADIUS = 6.0 ** 0.5
 

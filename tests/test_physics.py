@@ -236,3 +236,30 @@ def test_agent_only_yaws():
     # Yaw-only rotations keep x/y quaternion components at zero.
     assert abs(q[1]) < 1e-4 and abs(q[2]) < 1e-4
     assert abs(q[3]) > 0.05  # did yaw
+
+
+def test_crowded_cluster_no_interpenetration():
+    """K-preselect guard (K_WALL=3/K_PAIR=3): a worst-case crowd — 9
+    touching cubes in a 3x3 grid + 2 ramps dropped on top — must settle
+    without interpenetration or floor tunneling. Validates that 3
+    preselected neighbors per body suffice at this env's max density."""
+    import itertools
+
+    state = levelgen.empty_world(CFG)
+    qi = math3d.quat_identity()
+    k = 0
+    for gx in range(3):
+        for gy in range(3):
+            state = levelgen._add_box_body(
+                state, CFG, k, [2.05 * (gx - 1), 2.05 * (gy - 1), 1.0],
+                qi, levelgen.CUBE_HALF)
+            k += 1
+    state = levelgen._add_ramp_body(state, CFG, 0, [0.0, 0.0, 4.0], qi)
+    state = levelgen._add_ramp_body(state, CFG, 1, [1.0, 1.0, 7.0], qi)
+    bodies = run_steps(state, 150)
+    pos = np.asarray(bodies.pos)
+    worst = min(
+        np.abs(pos[i] - pos[j]).max()
+        for i, j in itertools.combinations(range(9), 2))
+    assert worst > 1.95, worst  # cubes touch (2.0), never overlap deeply
+    assert lowest_vertex_z(bodies)[np.asarray(bodies.active)].min() > -0.05
