@@ -205,6 +205,8 @@ class TrainingManager:
             "entropy": jnp.mean(ppo_metrics["entropy"]),
             "mean_reward": roll_metrics["mean_reward"],
             "hidden_frac": roll_metrics["hidden_frac"],
+            "lock_rate": roll_metrics["lock_rate"],
+            "grab_rate": roll_metrics["grab_rate"],
         }
         new_state = TrainingState(
             params=params,
@@ -288,7 +290,21 @@ class TrainingManager:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(path), self.state)
+        try:
+            restored = ckptr.restore(os.path.abspath(path), self.state)
+        except ValueError:
+            # Metrics-ring keys grow over time; restore checkpoints whose
+            # ring predates newer keys by matching the on-disk subset and
+            # zero-filling the rest.
+            raw = ckptr.restore(os.path.abspath(path))
+            disk_keys = set(raw.get("metrics", {}).keys())
+            legacy = {k: v for k, v in self.state.metrics.items()
+                      if k in disk_keys}
+            target = self.state.replace(metrics=legacy)
+            restored = ckptr.restore(os.path.abspath(path), target)
+            merged = dict(self.state.metrics)
+            merged.update(restored.metrics)
+            restored = restored.replace(metrics=merged)
         return self.replace(state=restored)
 
     def log_metrics_tensorboard(self, writer):
@@ -374,7 +390,7 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
     metrics = {
         k: jnp.zeros((cfg.metrics_buffer_size,))
         for k in ("loss", "action_loss", "value_loss", "entropy",
-                  "mean_reward", "hidden_frac")
+                  "mean_reward", "hidden_frac", "lock_rate", "grab_rate")
     }
 
     state = TrainingState(

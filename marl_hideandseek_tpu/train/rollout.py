@@ -217,6 +217,15 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         from marl_hideandseek_tpu.config import NUM_PREP_STEPS
         in_seek = (pre_step >= NUM_PREP_STEPS - 1).astype(jnp.float32)
         hidden = (result.team_reward > 0.0).astype(jnp.float32)
+        # Tool-use rates: fraction of world-steps with >= 1 locked box /
+        # >= 1 active grab (post-step state; reference tool semantics
+        # src/sim.cpp:281-361). The domain's fort-building signal.
+        from marl_hideandseek_tpu.types import body_slot_ranges
+        (box_lo, box_hi), _, _ = body_slot_ranges(penv.cfg)
+        locked_w = jnp.any(env_state.bodies.locked[box_lo:box_hi],
+                           axis=0).astype(jnp.float32)
+        grab_w = jnp.any(env_state.grab.target >= 0,
+                         axis=0).astype(jnp.float32)
 
         store = {
             "obs": obs,
@@ -230,6 +239,8 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
             "dones_w": dones_w,
             "seek_steps": jnp.sum(in_seek),
             "hidden_steps": jnp.sum(hidden * in_seek),
+            "locked_steps": jnp.sum(locked_w),
+            "grab_steps": jnp.sum(grab_w),
         }
         return (env_state, next_obs, new_rnn, new_assign), store
 
@@ -270,12 +281,15 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         rnn_start_states=chunks["rnn_start"],
         bootstrap_value=boot_values,
     )
+    total_ws = float(cfg.steps_per_update * num_worlds)
     metrics = {
         "episode_results": chunks["episode_results"],
         "dones_w": chunks["dones_w"],
         "mean_reward": jnp.mean(chunks["rewards"]),
         "hidden_frac": (jnp.sum(chunks["hidden_steps"]) /
                         jnp.maximum(jnp.sum(chunks["seek_steps"]), 1.0)),
+        "lock_rate": jnp.sum(chunks["locked_steps"]) / total_ws,
+        "grab_rate": jnp.sum(chunks["grab_steps"]) / total_ws,
     }
     new_rollout = RolloutState(
         env_state=env_state, obs=final_obs, rnn_states=final_rnn,

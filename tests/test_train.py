@@ -176,3 +176,66 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(mgr.state.params),
                     jax.tree_util.tree_leaves(mgr2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_eval_load_ckpt_roundtrip(tmp_path):
+    """The inference path: save a PBT checkpoint, reload it through
+    eval_load_ckpt, and run the policy on normalizer-prepped obs — this
+    is scripts/infer.py's load path (regression: target-less orbax
+    restore used to yield plain dicts where NormalizerState is needed,
+    and a config-mismatched init_training restore blew up)."""
+    from marl_hideandseek_tpu.train.evaluate import eval_load_ckpt
+    from marl_hideandseek_tpu.train.rollout import apply_ensemble
+    from marl_hideandseek_tpu.env.packed import PackedEnv
+
+    env = make_env()
+    pbt = PBTConfig(num_teams=2, team_size=1, num_train_policies=2,
+                    num_past_policies=2, past_play_portion=1.0)
+    cfg = make_train_cfg(pbt=pbt)
+    policy = make_policy(dtype=jnp.float32)
+    mgr = init_training(None, cfg, env, policy)
+    path = mgr.save_ckpt(str(tmp_path))
+
+    params, obs_stats, elo = eval_load_ckpt(policy, path)
+    n_pol = jax.tree_util.tree_leaves(params)[0].shape[0]
+    assert n_pol == 4  # 2 train + 2 past
+    assert elo.shape == (4,)
+
+    penv = PackedEnv(env.cfg)
+    _, result = jax.jit(penv.init)(jax.random.PRNGKey(0))
+    n_agents = env.cfg.num_worlds * env.cfg.max_agents
+    norm = policy.obs_preprocess
+    obs = jax.tree.map(lambda x: x.reshape((n_agents,) + x.shape[2:]),
+                       norm.prep(result.obs))
+    normalized = norm.normalize(obs_stats, obs)  # typed state required
+    rnn = policy.actor_critic.init_recurrent_state(n_agents)
+    assigns = jnp.zeros((n_agents,), jnp.int32)
+    logits, values, _ = apply_ensemble(policy, params, rnn, normalized,
+                                       assigns, n_pol)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # train_only / single_policy selectors (reference: jax_infer.py:59-64).
+    p_train, _, _ = eval_load_ckpt(policy, path, train_only=True)
+    assert jax.tree_util.tree_leaves(p_train)[0].shape[0] == 2
+    p_one, _, _ = eval_load_ckpt(policy, path, single_policy=1)
+    assert jax.tree_util.tree_leaves(p_one)[0].shape[0] == 1
+
+
+def test_restore_ckpt_legacy_metrics(tmp_path):
+    """Checkpoints written before a metrics-ring key existed must still
+    restore (new keys zero-filled)."""
+    env = make_env()
+    cfg = make_train_cfg()
+    policy = make_policy(dtype=jnp.float32)
+    mgr = init_training(None, cfg, env, policy)
+    # Simulate a legacy checkpoint: drop a ring key before saving.
+    legacy_metrics = {k: v for k, v in mgr.state.metrics.items()
+                      if k not in ("lock_rate", "grab_rate")}
+    legacy = mgr.replace(state=mgr.state.replace(metrics=legacy_metrics))
+    path = legacy.save_ckpt(str(tmp_path))
+
+    mgr2 = init_training(None, cfg, env, policy, restore_ckpt=path)
+    assert "lock_rate" in mgr2.state.metrics
+    assert "grab_rate" in mgr2.state.metrics
+    np.testing.assert_allclose(
+        np.asarray(mgr2.state.metrics["lock_rate"]), 0.0)
