@@ -117,6 +117,19 @@ def main():
         retries += 1
         steps_per_sec = bench_run(num_worlds, num_steps,
                                   reset_chance=reset_chance, chunk=chunk)
+    if steps_per_sec > 100e6:
+        # Still impossible after retries: report an explicit failure
+        # rather than a 1000x-inflated number.
+        print(json.dumps({
+            "metric": f"env_steps_per_sec_{num_worlds}worlds_2v2",
+            "value": 0.0,
+            "unit": "env-steps/s",
+            "vs_baseline": 0.0,
+            "error": "backend returned impossible throughput "
+                     f"({steps_per_sec:.3g} steps/s) after "
+                     f"{retries} retries",
+        }))
+        raise SystemExit(1)
     suffix = f"_reset{reset_chance}" if reset_chance else ""
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}worlds_2v2{suffix}",

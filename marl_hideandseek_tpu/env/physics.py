@@ -366,12 +366,12 @@ def _refresh_contacts(cfg, man: Manifold, pos, quat):
                   jnp.where(is_wall[..., None], n_w, n_p))
     p = jnp.where(is_plane[..., None], p_ex, p_in)
     mask = man.valid & (man.kind > 0) & (depth > 0.0)
-    return p, n, depth, mask, nb_pos, nb_quat, p_l
+    return p, n, depth, mask, nb_pos, nb_quat
 
 
 def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
                    p, n, depth, mask, nb_pos, nb_quat,
-                   pos_prev=None, quat_prev=None, p_l=None):
+                   pos_prev=None, quat_prev=None):
     """Jacobi position pass over the [B, C] manifold: normal correction +
     XPBD positional static friction (Macklin et al. 2020 §3.4 — cancel the
     tangential contact-point drift this substep when the required impulse
@@ -668,11 +668,11 @@ def physics_step(cfg: EnvConfig, bodies: RigidBodies, statics: StaticGeom,
         quat_i = math3d.quat_integrate(quat, omega_i, h)
 
         # --- refresh + solve the persistent manifold -------------------
-        p, n, depth, mask, nb_pos, nb_quat, p_l = _refresh_contacts(
+        p, n, depth, mask, nb_pos, nb_quat = _refresh_contacts(
             cfg, man, pos_i, quat_i)
         dpos, drot, cnt, lam, dpos_t, drot_t, w_n = _contact_solve(
             man, pos_i, quat_i, eff_inv_m, eff_inv_I, p, n, depth, mask,
-            nb_pos, nb_quat, pos_prev, quat_prev, p_l)
+            nb_pos, nb_quat, pos_prev, quat_prev)
         norm = 1.0 / jnp.maximum(cnt, 1.0)
         pos_c = pos_i + dpos * norm[:, None] + dpos_t
         quat_c = _apply_rot(quat_i, drot * norm[:, None] + drot_t)

@@ -64,15 +64,28 @@ from marl_hideandseek_tpu.types import body_slot_ranges
 _COS_HALF_FOV = float(np.cos(np.deg2rad(VIS_FOV_DEGREES / 2.0)))
 
 
+# Dynamic wall-loop trip count: measured ~equal to the static 36-slot
+# unroll on v5e-lite (STATUS round 3), so the static form is the default;
+# the dynamic path is kept behind this switch for chips where the
+# trade-off differs. Controls both the kernel's wall loop form and
+# whether the per-step wall-count bound is computed at all.
+DYNAMIC_WALLS = False
+
+
 def _wall_bound(wall_active, axis: int) -> jnp.ndarray:
     """i32 [1] batch-max active-wall count for the kernel's dynamic wall
-    loop (wall slots are densely packed: geometry.wall_active)."""
+    loop (wall slots are densely packed: geometry.wall_active). A static
+    constant when DYNAMIC_WALLS is off (the SMEM input must still exist
+    for the kernel signature, but nothing reads it)."""
+    n_wall = wall_active.shape[axis]
+    if not DYNAMIC_WALLS:
+        return jnp.full((1,), n_wall, jnp.int32)
     counts = jnp.sum(wall_active.astype(jnp.int32), axis=axis)
     return jnp.max(counts).astype(jnp.int32)[None]
 
 
 def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
-                       dynamic_walls: bool = False):
+                       dynamic_walls: bool = DYNAMIC_WALLS):
     """Fused physics + ray-sweep kernel.
 
     Sweep layout (round-3 work-cut): three row-sets stacked per agent —

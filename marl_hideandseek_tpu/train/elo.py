@@ -40,6 +40,9 @@ def update_elo_pairwise(elo, idx_a, idx_b, score_a, valid):
     v = v * (idx_a != idx_b).astype(jnp.float32)  # self-play carries no info
     # Per-pair aggregation as a one-hot contraction (scatter-adds over a
     # [M]-sized index vector scalarize on TPU; M is ~40K per update).
+    # Scale note: the [M, P^2] one-hot is a transient (e.g. 42 MB at the
+    # 16K-world config with P=4); at very large populations (P >= 16)
+    # combined with huge M, pre-reduce per chunk before this call.
     pair = idx_a * p + idx_b
     oh = jax.nn.one_hot(pair, p * p, dtype=jnp.float32)  # [M, P*P]
     score_sum = (score_a * v) @ oh                       # [P*P]

@@ -49,12 +49,18 @@ def eval_load_ckpt(policy: Policy, ckpt_path: str,
     else:
         obs_stats = os_raw
 
+    # Keep elo aligned with the params slice: elo[i] must be the rating
+    # of params[i] for every selector combination.
+    n_train = jax.tree_util.tree_leaves(params)[0].shape[0]
     if not train_only and jax.tree_util.tree_leaves(past):
         params = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), params, past)
+    else:
+        elo = elo[:n_train]
     if single_policy is not None:
         params = jax.tree.map(
             lambda x: x[single_policy:single_policy + 1], params)
+        elo = elo[single_policy:single_policy + 1]
     return params, obs_stats, elo
 
 

@@ -292,14 +292,21 @@ class TrainingManager:
         ckptr = ocp.StandardCheckpointer()
         try:
             restored = ckptr.restore(os.path.abspath(path), self.state)
-        except ValueError:
+        except ValueError as e:
             # Metrics-ring keys grow over time; restore checkpoints whose
-            # ring predates newer keys by matching the on-disk subset and
-            # zero-filling the rest.
-            raw = ckptr.restore(os.path.abspath(path))
-            disk_keys = set(raw.get("metrics", {}).keys())
+            # ring predates newer keys by matching the on-disk key set and
+            # zero-filling the rest. Only the metrics subtree is handled
+            # here — any other structural mismatch re-raises.
+            if "metrics" not in str(e):
+                raise
+            md = ckptr.metadata(os.path.abspath(path))
+            tree = getattr(md, "item_metadata", None) or getattr(
+                md, "tree", None) or md
+            disk_keys = set(tree["metrics"].keys())
             legacy = {k: v for k, v in self.state.metrics.items()
                       if k in disk_keys}
+            if disk_keys - set(self.state.metrics):
+                raise  # disk has keys this code no longer knows
             target = self.state.replace(metrics=legacy)
             restored = ckptr.restore(os.path.abspath(path), target)
             merged = dict(self.state.metrics)
