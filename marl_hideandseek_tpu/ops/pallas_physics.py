@@ -33,6 +33,11 @@ from marl_hideandseek_tpu.types import body_slot_ranges
 
 LANE = 128
 
+# Temporary bisection probes (profiling only; all False in production).
+_PROBE_IO_ONLY = False        # copy inputs->outputs, no compute
+_PROBE_MANIFOLD_ONLY = False  # manifold build kept alive, no substeps
+_PROBE_PRESELECT_ONLY = False  # candidate preselect only, no vertex sweep
+
 _S13 = math.sqrt(13.0)
 _WEDGE_FACES = (
     ((1.0, 0.0, 0.0), 1.0),
@@ -361,7 +366,10 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
         # Neighbor routing masks, computed ONCE per step (nb_idx is fixed
         # for the whole substep loop): sel[j] = 1.0 where contact routes
         # to body j. route/scatter then become fmas instead of
-        # compare+selects.
+        # compare+selects. (A candidate-factored two-stage route was
+        # measured SLOWER on v5e-lite: Mosaic's [1,1,L] lane-broadcast
+        # fma is near-free while [B,L]->[B,C,L] sublane broadcasts pay
+        # relayouts — the direct one-hot form is the fast one.)
         nb_sel = [
             (nb_idx == float(j)).astype(jnp.float32)   # [B, C, L]
             for j in range(n_body)
@@ -716,6 +724,17 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
                  quat_ref[:, 3],
                  vel_ref[:, 0], vel_ref[:, 1], vel_ref[:, 2],
                  om_ref[:, 0], om_ref[:, 1], om_ref[:, 2])
+        if _PROBE_IO_ONLY:
+            return carry
+        if _PROBE_PRESELECT_ONLY:
+            live = sum(s[0] for s in wall_sel) + sum(s[0] for s in pair_sel)
+            return (carry[0] + 1e-30 * live,) + carry[1:]
+        if _PROBE_MANIFOLD_ONLY:
+            live3 = (best + b_kind + b_mu + b_nbi + b_nbr +
+                     sum(b_aux) + sum(b_fpt) + nb_w + sum(nb_invI))
+            live = jnp.sum(live3, axis=1) + \
+                jnp.sum(gt_w, axis=0)[None, :]
+            return (carry[0] + 1e-30 * live,) + carry[1:]
         return jax.lax.fori_loop(0, n_sub, substep, carry)
 
     return core

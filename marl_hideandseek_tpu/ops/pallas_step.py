@@ -150,21 +150,21 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         vel_out[:] = jnp.stack(carry[7:10], axis=1)
         om_out[:] = jnp.stack(carry[10:13], axis=1)
 
-        # ---- per-agent basis + origins [A, 1, L] -------------------------
-        def arows(vals):
-            return jnp.stack(vals)[:, None, :]              # [A, 1, L]
-
-        apx = arows([px[agent_lo + a] for a in range(n_a)])
-        apy = arows([py[agent_lo + a] for a in range(n_a)])
-        apz = arows([pz[agent_lo + a] for a in range(n_a)])
-        aqw = arows([qw[agent_lo + a] for a in range(n_a)])
-        aqz = arows([qz[agent_lo + a] for a in range(n_a)])
+        # ---- per-agent basis + origins [A, L] -----------------------------
+        # Per-agent scalars ride the sublane axis as single [A, L] planes
+        # (1 vreg) instead of [A, 1, L] (A vregs at 1/8 sublane use);
+        # [:, None, :] views feed the [A, R, L] broadcasts where needed.
+        apx = jnp.stack([px[agent_lo + a] for a in range(n_a)])   # [A, L]
+        apy = jnp.stack([py[agent_lo + a] for a in range(n_a)])
+        apz = jnp.stack([pz[agent_lo + a] for a in range(n_a)])
+        aqw = jnp.stack([qw[agent_lo + a] for a in range(n_a)])
+        aqz = jnp.stack([qz[agent_lo + a] for a in range(n_a)])
         # Yaw-only rotation columns: fwd = q*(0,1,0) = (-2wz, 1-2z^2, 0),
         # right = q*(1,0,0) = (1-2z^2, 2wz, 0). Same expressions as the
         # general _qrot specialized at qx=qy=0 (bit-identical op order).
         c_yaw = 1.0 - 2.0 * aqz * aqz
         s_yaw = 2.0 * aqw * aqz
-        fwx, fwy = -s_yaw, c_yaw
+        fwx, fwy = -s_yaw, c_yaw                            # [A, L]
         rtx, rty = c_yaw, s_yaw
 
         # ---- ray dirs -----------------------------------------------------
@@ -176,28 +176,27 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
                 for a in range(n_a)
             ])                                              # [A, n_tgt, L]
 
-        vdx = tgt_stack(px) - apx
-        vdy = tgt_stack(py) - apy
-        vdz = tgt_stack(pz) - apz
+        vdx = tgt_stack(px) - apx[:, None, :]
+        vdy = tgt_stack(py) - apy[:, None, :]
+        vdz = tgt_stack(pz) - apz[:, None, :]
         # LID: horizontal circle in the agent frame (dz = 0 exactly).
-        fwx2, fwy2 = fwx[:, 0], fwy[:, 0]                   # [A, L]
-        rtx2, rty2 = rtx[:, 0], rty[:, 0]
-        ldx = jnp.stack([ck * rtx2 + sk * fwx2 for ck, sk in lidar_cs],
+        ldx = jnp.stack([ck * rtx + sk * fwx for ck, sk in lidar_cs],
                         axis=1)                             # [A, 30, L]
-        ldy = jnp.stack([ck * rty2 + sk * fwy2 for ck, sk in lidar_cs],
+        ldy = jnp.stack([ck * rty + sk * fwy for ck, sk in lidar_cs],
                         axis=1)
-        # ACT: forward from the eye point (dz = 0 exactly).
-        adx, ady = fwx, fwy                                 # [A, 1, L]
+        # ACT: forward from the eye point (dz = 0 exactly); [A, L] rows.
+        adx, ady = fwx, fwy                                 # [A, L]
         aoz = apz + 0.5
 
         # ---- accumulators -------------------------------------------------
         tv = jnp.full((n_a, n_tgt, LANE), _BIG)
         iv = jnp.full((n_a, n_tgt, LANE), -1, jnp.int32)
         tl = jnp.full((n_a, NUM_LIDAR_SAMPLES, LANE), _BIG)
-        ta = jnp.full((n_a, 1, LANE), _BIG)
-        ia = jnp.full((n_a, 1, LANE), -1, jnp.int32)
+        ta = jnp.full((n_a, LANE), _BIG)
+        ia = jnp.full((n_a, LANE), -1, jnp.int32)
 
         a_iota = jax.lax.broadcasted_iota(jnp.int32, (n_a, 1, 1), 0)
+        a_iota2 = jax.lax.broadcasted_iota(jnp.int32, (n_a, LANE), 0)
 
         # ---- dynamic bodies ----------------------------------------------
         for b in range(n_body):
@@ -208,7 +207,7 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
 
             # Shared per-agent origin transform (one per row-set origin,
             # broadcast over the agent's rays).
-            rel = (apx - pbx, apy - pby, apz - pbz)         # [A, 1, L]
+            rel = (apx - pbx, apy - pby, apz - pbz)         # [A, L]
             if is_agent:
                 bqw, bqz = qw[b], qz[b]
                 bc = 1.0 - 2.0 * bqz * bqz
@@ -224,7 +223,7 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
                     o = _rot_inv(bq[0], bq[1], bq[2], bq[3], x, y, z)
                     return o
 
-            lox, loy, loz = rotb(*rel)                      # [A, 1, L]
+            lox, loy, loz = rotb(*rel)                      # [A, L]
             # Eye origin: base + 0.5 * (world z in body frame).
             if is_agent:
                 ezx, ezy, ezz = 0.0, 0.0, 1.0
@@ -232,15 +231,16 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
                 ezx, ezy, ezz = rotb(jnp.zeros_like(pbx),
                                      jnp.zeros_like(pbx),
                                      jnp.ones_like(pbx))
-                ezx, ezy, ezz = ezx[None, None], ezy[None, None], \
-                    ezz[None, None]
-            aox = lox + 0.5 * ezx
+                ezx, ezy, ezz = ezx[None], ezy[None], ezz[None]  # [1, L]
+            aox = lox + 0.5 * ezx                           # [A, L]
             aoy = loy + 0.5 * ezy
             aoz_l = loz + 0.5 * ezz
 
+            lox1, loy1, loz1 = (lox[:, None, :], loy[:, None, :],
+                                loz[:, None, :])            # [A, 1, L]
             v_d = rotb(vdx, vdy, vdz)                       # [A, n_tgt, L]
             l_d = rotb(ldx, ldy, jnp.zeros_like(ldx))       # [A, 30, L]
-            a_d = rotb(adx, ady, jnp.zeros_like(adx))       # [A, 1, L]
+            a_d = rotb(adx, ady, jnp.zeros_like(adx))       # [A, L]
 
             if is_ramp:
                 def wedge_t(ox_, oy_, oz_, dx_, dy_, dz_):
@@ -260,31 +260,32 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
                     hit = (t_out_ >= t_in) & (t_in > _EPS) & ~miss
                     return jnp.where(hit, t_in, _BIG)
 
-                t_v = wedge_t(lox, loy, loz, *v_d)
-                t_l = wedge_t(lox, loy, loz, *l_d)
+                t_v = wedge_t(lox1, loy1, loz1, *v_d)
+                t_l = wedge_t(lox1, loy1, loz1, *l_d)
                 t_a = wedge_t(aox, aoy, aoz_l, *a_d)
             else:
                 hx, hy, hz = he_ref[b, 0], he_ref[b, 1], he_ref[b, 2]
                 if is_agent:
                     # Yaw body + dz=0 rays: z slab is a pure mask for
                     # LID/ACT (local dz stays 0); VIS keeps full 3-D.
-                    t_v = _slab_t(lox, loy, loz, *v_d, hx, hy, hz)
-                    z_ok_l = jnp.abs(loz) <= hz             # [A, 1, L]
-                    z_ok_a = jnp.abs(aoz_l) <= hz
-                    t_l = _slab_t2d(lox, loy, l_d[0], l_d[1], hx, hy)
+                    t_v = _slab_t(lox1, loy1, loz1, *v_d, hx, hy, hz)
+                    z_ok_l = jnp.abs(loz1) <= hz            # [A, 1, L]
+                    z_ok_a = jnp.abs(aoz_l) <= hz           # [A, L]
+                    t_l = _slab_t2d(lox1, loy1, l_d[0], l_d[1], hx, hy)
                     t_l = jnp.where(z_ok_l, t_l, _BIG)
                     t_a = _slab_t2d(aox, aoy, a_d[0], a_d[1], hx, hy)
                     t_a = jnp.where(z_ok_a, t_a, _BIG)
                 else:
-                    t_v = _slab_t(lox, loy, loz, *v_d, hx, hy, hz)
-                    t_l = _slab_t(lox, loy, loz, *l_d, hx, hy, hz)
+                    t_v = _slab_t(lox1, loy1, loz1, *v_d, hx, hy, hz)
+                    t_l = _slab_t(lox1, loy1, loz1, *l_d, hx, hy, hz)
                     t_a = _slab_t(aox, aoy, aoz_l, *a_d, hx, hy, hz)
 
             if is_agent:
                 own = a_iota == (b - agent_lo)
+                own2 = a_iota2 == (b - agent_lo)
                 t_v = jnp.where(own, _BIG, t_v)
                 t_l = jnp.where(own, _BIG, t_l)
-                t_a = jnp.where(own, _BIG, t_a)
+                t_a = jnp.where(own2, _BIG, t_a)
 
             t_v = jnp.where(bact, t_v, _BIG)
             t_l = jnp.where(bact, t_l, _BIG)
@@ -311,7 +312,7 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         sm_ly = jnp.abs(ldy) < _EPS
         i_lx = 1.0 / jnp.where(sm_lx, _EPS, ldx)
         i_ly = 1.0 / jnp.where(sm_ly, _EPS, ldy)
-        sm_ax = jnp.abs(adx) < _EPS
+        sm_ax = jnp.abs(adx) < _EPS                         # [A, L]
         sm_ay = jnp.abs(ady) < _EPS
         i_ax = 1.0 / jnp.where(sm_ax, _EPS, adx)
         i_ay = 1.0 / jnp.where(sm_ay, _EPS, ady)
@@ -328,29 +329,31 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         # Shared z slab from wall slot 0 (uniform-z invariant).
         wz0 = wp_ref[0, 2][None, None]                      # [1, 1, L]
         whz0 = wh2_ref[0, 2][None, None]
-        zn_v, zf_v = wall_axis(apz - wz0, whz0, i_vz, sm_vz)
-        z_ok_lw = jnp.abs(apz - wz0) <= whz0                # [A, 1, L]
-        z_ok_aw = jnp.abs(aoz - wz0) <= whz0
+        zn_v, zf_v = wall_axis(apz[:, None, :] - wz0, whz0, i_vz, sm_vz)
+        z_ok_lw = (jnp.abs(apz - wz0[0]) <= whz0[0])[:, None, :]  # [A,1,L]
+        z_ok_aw = jnp.abs(aoz - wz0[0]) <= whz0[0]          # [A, L]
 
         def wall_pass(w_idx, accs, pwx, pwy, hx, hy, wact):
             tv, iv, tl, ta, ia = accs
-            ox_v = apx - pwx
+            ox_v = apx - pwx                                # [A, L]
             oy_v = apy - pwy
-            n1, f1 = wall_axis(ox_v, hx, i_vx, sm_vx)
-            n2, f2 = wall_axis(oy_v, hy, i_vy, sm_vy)
+            ox_v1 = ox_v[:, None, :]                        # [A, 1, L]
+            oy_v1 = oy_v[:, None, :]
+            n1, f1 = wall_axis(ox_v1, hx, i_vx, sm_vx)
+            n2, f2 = wall_axis(oy_v1, hy, i_vy, sm_vy)
             tmin = jnp.maximum(jnp.maximum(n1, n2), zn_v)
             tmax = jnp.minimum(jnp.minimum(f1, f2), zf_v)
             hit = (tmax >= tmin) & (tmin > _EPS) & wact
             t_v = jnp.where(hit, tmin, _BIG)
 
-            n1, f1 = wall_axis(ox_v, hx, i_lx, sm_lx)
-            n2, f2 = wall_axis(oy_v, hy, i_ly, sm_ly)
+            n1, f1 = wall_axis(ox_v1, hx, i_lx, sm_lx)
+            n2, f2 = wall_axis(oy_v1, hy, i_ly, sm_ly)
             tmin = jnp.maximum(n1, n2)
             tmax = jnp.minimum(f1, f2)
             hit = (tmax >= tmin) & (tmin > _EPS) & z_ok_lw & wact
             t_l = jnp.where(hit, tmin, _BIG)
 
-            n1, f1 = wall_axis(ox_v, hx, i_ax, sm_ax)
+            n1, f1 = wall_axis(ox_v, hx, i_ax, sm_ax)       # [A, L]
             n2, f2 = wall_axis(oy_v, hy, i_ay, sm_ay)
             tmin = jnp.maximum(n1, n2)
             tmax = jnp.minimum(f1, f2)
@@ -403,8 +406,9 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
                 hit = (denom < -_EPS) & (t > _EPS) & pact
                 return jnp.where(hit, t, _BIG)
 
-            t_v = plane_t(vdx * nx + vdy * ny + vdz * nz, num_v)
-            t_l = plane_t(ldx * nx + ldy * ny, num_v)
+            t_v = plane_t(vdx * nx + vdy * ny + vdz * nz,
+                          num_v[:, None, :])
+            t_l = plane_t(ldx * nx + ldy * ny, num_v[:, None, :])
             t_a = plane_t(adx * nx + ady * ny, num_a)
 
             pid = n_body + n_wall + p
@@ -423,12 +427,14 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         # ---- consume: vis masks, lidar, action hits, reward flag ----------
         nab = nab_ref[0][None, None]                        # [1, 1, L]
         nar = nar_ref[0][None, None]
-        a_act = arows([aact_ref[a] for a in range(n_a)])    # [A, 1, L] f32
+        a_act = jnp.stack(
+            [aact_ref[a] for a in range(n_a)])[:, None, :]  # [A, 1, L] f32
 
         # Visibility: nearest hit is the target + cone + validity
         # (env/observations.py::consume_obs_sweep semantics).
         dist = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
-        dot = vdx * fwx + vdy * fwy                         # fwd z = 0
+        dot = (vdx * fwx[:, None, :] +
+               vdy * fwy[:, None, :])                       # fwd z = 0
         in_cone = dot >= _COS_HALF_FOV * jnp.maximum(dist, 1e-9)
 
         # Static target-slot grid from iotas (captured numpy arrays are
@@ -470,13 +476,14 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         lid_out[:] = jnp.where((tl < _BIG) & (tl <= LIDAR_MAX_RANGE),
                                tl, 0.0) * a_act
 
-        in_range = ta <= INTERACT_RAY_LEN
-        actt_out[:] = jnp.where(in_range, ta, _BIG)[:, 0]
-        actid_out[:] = jnp.where(in_range, ia, -1)[:, 0]
+        in_range = ta <= INTERACT_RAY_LEN                   # [A, L]
+        actt_out[:] = jnp.where(in_range, ta, _BIG)
+        actid_out[:] = jnp.where(in_range, ia, -1)
 
         # Reward flag: any seeker observer sees any hider target column
         # (AGENT_SEEKER = 0, AGENT_HIDER = 1).
-        is_seeker = arows([atype_ref[a] for a in range(n_a)]) < 0.5
+        is_seeker = jnp.stack(
+            [atype_ref[a] for a in range(n_a)])[:, None, :] < 0.5
         col_hider = jnp.stack([
             jnp.stack([(atype_ref[others[a][k]] if others[a][k] < n_a
                         else jnp.zeros((LANE,)))
