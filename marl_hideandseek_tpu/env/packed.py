@@ -523,22 +523,32 @@ class PackedEnv:
             base_key = jax.random.PRNGKey(cfg.rand_seed)
         actions = actions.astype(jnp.int32)
 
-        # 1. Movement + grab/lock on the carried interaction-ray hits.
-        ext_force, ext_torque = _movement_packed(cfg, ps, actions)
-        ps = _action_system_packed(cfg, ps, actions, ps.act_hit_t,
-                                   ps.act_hit_id)
+        if jax.devices()[0].platform == "tpu" and \
+                w % pallas_step.LANE == 0:
+            # 1-3 fused: movement, grab/lock, physics, sweep, zero-vel,
+            # rewards/dones and episode scores in ONE Pallas launch
+            # (ops/pallas_step.megastep_packed).
+            ps, sweep, rewards, dones, team_r = \
+                pallas_step.megastep_packed(cfg, ps, actions)
+        else:
+            # Fallback (CPU/tests): the same phases as XLA glue around
+            # the jnp physics/sweep — the megastep's semantic reference.
+            # 1. Movement + grab/lock on the carried interaction-ray hits.
+            ext_force, ext_torque = _movement_packed(cfg, ps, actions)
+            ps = _action_system_packed(cfg, ps, actions, ps.act_hit_t,
+                                       ps.act_hit_id)
 
-        # 2. Physics + fused ray sweep (no transposes: state is already
-        #    worlds-minor).
-        ps, sweep = self._physics_and_sweep(ps, ext_force, ext_torque)
-        if cfg.zero_agent_velocity:
-            ps = _zero_agent_velocities_packed(cfg, ps)
+            # 2. Physics + fused ray sweep (no transposes: state is
+            #    already worlds-minor).
+            ps, sweep = self._physics_and_sweep(ps, ext_force, ext_torque)
+            if cfg.zero_agent_velocity:
+                ps = _zero_agent_velocities_packed(cfg, ps)
 
-        # 3. Rewards / dones / episode results.
-        team_r = jnp.where(sweep.rew_seen, -1.0, 1.0)      # [W]
-        ps = ps.replace(hider_team_reward=team_r)
-        rewards, dones = _rewards_dones_packed(cfg, ps, team_r)
-        ps = _episode_results_packed(cfg, ps, team_r)
+            # 3. Rewards / dones / episode results.
+            team_r = jnp.where(sweep.rew_seen, -1.0, 1.0)      # [W]
+            ps = ps.replace(hider_team_reward=team_r)
+            rewards, dones = _rewards_dones_packed(cfg, ps, team_r)
+            ps = _episode_results_packed(cfg, ps, team_r)
 
         # 4. Conditional resets: unpack, reuse the classic regeneration
         #    paths (full or compact), repack. Amortized over episodes.

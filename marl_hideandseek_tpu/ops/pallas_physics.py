@@ -113,6 +113,40 @@ def _apply_invI(q, invI, v):
     return _qrot(q, b)
 
 
+def _sym_invI_mat(q, invI):
+    """Symmetric world-frame inverse-inertia matrix M = R diag(invI) R^T
+    as its 6 unique components (xx, yy, zz, xy, xz, yz).
+
+    Building M once per (q, invI) set and applying it as a 9-fma matvec
+    replaces the two quaternion rotations of _apply_invI (~45 VPU ops)
+    per application — the substep loop applies inverse inertia ~11 times
+    per contact set, so the amortized build pays for itself many times.
+    Exactly the same linear map (float op order differs)."""
+    w, x, y, z = q
+    c0 = (1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y + w * z),
+          2.0 * (x * z - w * y))
+    c1 = (2.0 * (x * y - w * z), 1.0 - 2.0 * (x * x + z * z),
+          2.0 * (y * z + w * x))
+    c2 = (2.0 * (x * z + w * y), 2.0 * (y * z - w * x),
+          1.0 - 2.0 * (x * x + y * y))
+    ix, iy, iz = invI
+    xx = ix * c0[0] * c0[0] + iy * c1[0] * c1[0] + iz * c2[0] * c2[0]
+    yy = ix * c0[1] * c0[1] + iy * c1[1] * c1[1] + iz * c2[1] * c2[1]
+    zz = ix * c0[2] * c0[2] + iy * c1[2] * c1[2] + iz * c2[2] * c2[2]
+    xy = ix * c0[0] * c0[1] + iy * c1[0] * c1[1] + iz * c2[0] * c2[1]
+    xz = ix * c0[0] * c0[2] + iy * c1[0] * c1[2] + iz * c2[0] * c2[2]
+    yz = ix * c0[1] * c0[2] + iy * c1[1] * c1[2] + iz * c2[1] * c2[2]
+    return (xx, yy, zz, xy, xz, yz)
+
+
+def _sym_apply(M, v):
+    """M v for the symmetric 6-component matrix of _sym_invI_mat."""
+    xx, yy, zz, xy, xz, yz = M
+    return (xx * v[0] + xy * v[1] + xz * v[2],
+            xy * v[0] + yy * v[1] + yz * v[2],
+            xz * v[0] + yz * v[1] + zz * v[2])
+
+
 def _box_sdf_normal(rel, half):
     """Componentwise box SDF + outward normal."""
     qx = jnp.abs(rel[0]) - half[0]
@@ -150,9 +184,10 @@ def _wedge_sdf_normal(p):
 
 def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
     """Build the in-VMEM physics body shared by the physics-only kernel and
-    the fused step kernel (ops/pallas_step.py): takes the 22 input refs,
-    returns the final 13-tuple carry of [B, L] component arrays
-    (px, py, pz, qw, qx, qy, qz, vx, vy, vz, ox, oy, oz)."""
+    the fused/mega step kernels (ops/pallas_step.py): takes the 22 inputs
+    as ARRAYS (callers read their refs; the megastep kernel passes
+    in-kernel computed values), returns the final 13-tuple carry of
+    [B, L] component arrays (px..pz, qw..qz, vx..vz, ox..oz)."""
     n_body = cfg.num_dyn_bodies
     n_c = jphys.N_CONTACTS
     _, (ramp_lo, ramp_hi), (agent_lo, agent_hi) = body_slot_ranges(cfg)
@@ -466,8 +501,12 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             rxn_a = _cross(r_a, n)
             rxn_b = _cross(r_b, n)
             iIa = tuple(c[:, None, :] for c in invI)
-            w_ang_a = _dot(rxn_a, _apply_invI(qa, iIa, rxn_a))
-            w_ang_b = _dot(rxn_b, _apply_invI(nb_quat, nb_invI, rxn_b))
+            # Amortized inverse-inertia matrices (see _sym_invI_mat):
+            # own body at the predicted pose, neighbor at its routed pose.
+            Ma_i = _sym_invI_mat(qa, iIa)
+            Mb = _sym_invI_mat(nb_quat, nb_invI)
+            w_ang_a = _dot(rxn_a, _sym_apply(Ma_i, rxn_a))
+            w_ang_b = _dot(rxn_b, _sym_apply(Mb, rxn_b))
             w_sum = inv_m[:, None, :] + w_ang_a + nb_w + w_ang_b
             lam = jnp.where(mask & (w_sum > 1e-9),
                             depth / jnp.maximum(w_sum, 1e-9), 0.0)
@@ -483,11 +522,11 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             def accumulate(impulse):
                 """Per-contact impulses -> per-body (dpos, drot) rows."""
                 d_a = tuple(jnp.sum(c, axis=1) * inv_m for c in impulse)
-                ang_a = _apply_invI(qa, iIa, _cross(r_a, impulse))
+                ang_a = _sym_apply(Ma_i, _cross(r_a, impulse))
                 r_acc = tuple(jnp.sum(c, axis=1) for c in ang_a)
                 i_b = _scale(impulse, -nb_w)
-                a_b = _apply_invI(nb_quat, nb_invI,
-                                  _cross(r_b, _scale(impulse, -1.0)))
+                a_b = _sym_apply(Mb,
+                                 _cross(r_b, _scale(impulse, -1.0)))
                 return (tuple(x + scatter(y) for x, y in zip(d_a, i_b)),
                         tuple(x + scatter(y) for x, y in zip(r_acc, a_b)))
 
@@ -506,7 +545,7 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             t_dir = _scale(dpt, 1.0 / jnp.maximum(dpt_len, 1e-9))
             rxt_a = _cross(r_a, t_dir)
             w_t = (inv_m[:, None, :] + nb_w +
-                   _dot(rxt_a, _apply_invI(qa, iIa, rxt_a)))
+                   _dot(rxt_a, _sym_apply(Ma_i, rxt_a)))
             lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
             mu_s_c = jnp.where(is_pair, jphys.MU_S_BODY, jphys.MU_S_STATIC)
             static_ok = (mask & (lam > 0.0) & (w_t > 1e-9) &
@@ -514,7 +553,7 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             imp_t = _scale(t_dir, -jnp.where(static_ok, lam_t, 0.0))
             # Owning-body-only application (physics.py rationale).
             dpos_t = tuple(jnp.sum(c, axis=1) * inv_m for c in imp_t)
-            ang_t = _apply_invI(qa, iIa, _cross(r_a, imp_t))
+            ang_t = _sym_apply(Ma_i, _cross(r_a, imp_t))
             drot_t = tuple(jnp.sum(c, axis=1) for c in ang_t)
 
             m_f = mask.astype(jnp.float32)
@@ -562,8 +601,10 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             a_invI = tuple(agent_rows(c) for c in invI)
             rxn1 = _cross(ra, nrm)
             rxn2 = _cross(rt, nrm)
-            gw_a = a_invm + _dot(rxn1, _apply_invI(ga_q, a_invI, rxn1))
-            gw_t = gt_w + _dot(rxn2, _apply_invI(gt_q, gt_invI, rxn2))
+            M_ga = _sym_invI_mat(ga_q, a_invI)
+            M_gt = _sym_invI_mat(gt_q, gt_invI)
+            gw_a = a_invm + _dot(rxn1, _sym_apply(M_ga, rxn1))
+            gw_t = gt_w + _dot(rxn2, _sym_apply(M_gt, rxn2))
             gw = gw_a + gw_t
             g_lam = jnp.where(g_has & (gw > 1e-9),
                               c_len / jnp.maximum(gw, 1e-9), 0.0)
@@ -571,9 +612,8 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
 
             gdp_a = _scale(g_imp, a_invm)
             gdp_t = _scale(g_imp, -gt_w)
-            gdr_a = _apply_invI(ga_q, a_invI, _cross(ra, g_imp))
-            gdr_t = _apply_invI(gt_q, gt_invI,
-                                _cross(rt, _scale(g_imp, -1.0)))
+            gdr_a = _sym_apply(M_ga, _cross(ra, g_imp))
+            gdr_t = _sym_apply(M_gt, _cross(rt, _scale(g_imp, -1.0)))
 
             # Angular part: drive rel rotation to stored g_q.
             rel_now = _qmul(_qconj(gt_q), ga_q)
@@ -582,21 +622,31 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             th_l = (2.0 * err[1] * sgn, 2.0 * err[2] * sgn,
                     2.0 * err[3] * sgn)
             th = _qrot(gt_q, th_l)
-            aw_a = _dot(_apply_invI(ga_q, a_invI, th), th)
-            aw_t = _dot(_apply_invI(gt_q, gt_invI, th), th)
+            aw_a = _dot(_sym_apply(M_ga, th), th)
+            aw_t = _dot(_sym_apply(M_gt, th), th)
             tn2 = _dot(th, th)
             dn = aw_a + aw_t
             sc = jnp.where(g_has & (dn > 1e-9) & (tn2 > 1e-12),
                            tn2 / jnp.maximum(dn, 1e-9), 0.0)
-            gdr_a = _sub(gdr_a, _scale(_apply_invI(ga_q, a_invI, th), sc))
-            gdr_t = _add(gdr_t, _scale(_apply_invI(gt_q, gt_invI, th), sc))
+            gdr_a = _sub(gdr_a, _scale(_sym_apply(M_ga, th), sc))
+            gdr_t = _add(gdr_t, _scale(_sym_apply(M_gt, th), sc))
 
             def g_scatter(vals):
-                """[A, L] per-agent target contributions -> [B, L] rows."""
+                """[A, L] per-agent target contributions -> [B, L] rows.
+
+                The sublane reduction is unrolled into row adds: Mosaic
+                rejects vector.multi_reduction over float ADD when the
+                input layout has nonzero sublane offsets, which the
+                agent-row slices (agent_lo % 8 != 0) produce in the
+                megastep kernel."""
                 rows = []
                 for j in range(n_body):
                     sel = (g_t == float(j)).astype(jnp.float32)
-                    rows.append(jnp.sum(vals * sel, axis=0))
+                    prod = vals * sel
+                    acc = prod[0]
+                    for a in range(1, n_agents):
+                        acc = acc + prod[a]
+                    rows.append(acc)
                 return jnp.stack(rows, axis=0)
 
             def add_agent_rows(full, agent_vals):
@@ -653,9 +703,10 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
 
             rxt_a = _cross(r_a2, t_dir)
             rxt_b = _cross(r_b2, t_dir)
+            Ma_c = _sym_invI_mat(qa_c, iIa)
             fw = (inv_m[:, None, :] + nb_w +
-                  _dot(rxt_a, _apply_invI(qa_c, iIa, rxt_a)) +
-                  _dot(rxt_b, _apply_invI(nb_quat, nb_invI, rxt_b)))
+                  _dot(rxt_a, _sym_apply(Ma_c, rxt_a)) +
+                  _dot(rxt_b, _sym_apply(Mb, rxt_b)))
             fw = jnp.maximum(fw, 1e-9)
             f_active = mask & (lam > 0.0)
             jimp = jnp.minimum(vt_len / fw, mu * lam / h)
@@ -665,11 +716,11 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
             fa = f_active.astype(jnp.float32)
             fcnt_a = jnp.sum(fa, axis=1)
             dvel_a = tuple(jnp.sum(c, axis=1) * inv_m for c in fimp)
-            fang_a = _apply_invI(qa_c, iIa, _cross(r_a2, fimp))
+            fang_a = _sym_apply(Ma_c, _cross(r_a2, fimp))
             dom_a = tuple(jnp.sum(c, axis=1) for c in fang_a)
             fimp_b = _scale(fimp, -nb_w)
-            fang_b = _apply_invI(nb_quat, nb_invI,
-                                 _cross(r_b2, _scale(fimp, -1.0)))
+            fang_b = _sym_apply(Mb,
+                                _cross(r_b2, _scale(fimp, -1.0)))
             dvel = tuple(a + scatter(b) for a, b in zip(dvel_a, fimp_b))
             dom = tuple(a + scatter(b) for a, b in zip(dom_a, fang_b))
             fcnt = fcnt_a + scatter(fa)
@@ -701,7 +752,7 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
                            jnp.maximum(w_sum, 1e-9), 0.0)
             rimp = _scale(n, jr)
             dvr = tuple(jnp.sum(c, axis=1) * inv_m for c in rimp)
-            rang_a = _apply_invI(qa_c, iIa, _cross(r_a2, rimp))
+            rang_a = _sym_apply(Ma_c, _cross(r_a2, rimp))
             domr = tuple(jnp.sum(c, axis=1) for c in rang_a)
             vx3 = vx3 + dvr[0]
             vy3 = vy3 + dvr[1]

@@ -84,14 +84,16 @@ def _wall_bound(wall_active, axis: int) -> jnp.ndarray:
     return jnp.max(counts).astype(jnp.int32)[None]
 
 
-def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
-                       dynamic_walls: bool = DYNAMIC_WALLS):
-    """Fused physics + ray-sweep kernel.
+def make_sweep(cfg: EnvConfig, n_wall: int, n_plane: int,
+               dynamic_walls: bool = DYNAMIC_WALLS):
+    """Build the ray-sweep + consume body shared by the fused and mega
+    step kernels.
 
     Sweep layout (round-3 work-cut): three row-sets stacked per agent —
     VIS [A, n_tgt, L] (3-D target rays, ids tracked), LID [A, 30, L]
-    (horizontal lidar rays, t-only), ACT [A, 1, L] (horizontal grab/lock
-    ray from the eye point). Exploited invariants, each pinned by tests:
+    (horizontal lidar rays, t-only), ACT [A, L] (horizontal grab/lock
+    ray from the eye point, single-vreg planes). Exploited invariants,
+    each pinned by tests:
 
       * agent quats are pure yaw (inv-inertia x/y are zeroed,
         reference: src/mgr.cpp:576-584), so agent basis vectors and
@@ -105,9 +107,13 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         wall loop can bound its trip count by the block's max wall count
         (`dynamic_walls`);
       * per-agent ray origins are shared by all of the agent's rays: the
-        per-body origin transform runs on [A, 1, L] instead of [R, L].
-    """
-    core = make_physics_core(cfg, n_wall, n_plane)
+        per-body origin transform runs on [A, L] / [A, 1, L] instead of
+        [R, L].
+
+    Returns sweep(carry, act, he, wp, wh2, wa, pp, pn, pa, atype, aact,
+    nab, nar, nwb_ref) -> (vis [A,T,L] f32, lid [A,30,L] f32,
+    actt [A,L] f32, actid [A,L] i32, rew [L] f32); all args are arrays
+    except the SMEM ref nwb_ref."""
     n_body = cfg.num_dyn_bodies
     (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
         body_slot_ranges(cfg)
@@ -133,22 +139,10 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
         for k in range(cfg.max_ramps):
             tgt_slots[a, t_agent_cols + cfg.max_boxes + k] = ramp_lo + k
 
-    def kernel(*args):
-        ins, outs = args[:27], args[27:]
-        (pos_ref, quat_ref, vel_ref, om_ref, invm_ref, invI_ref, dyn_ref,
-         act_ref, he_ref, mub_ref, f_ref, tq_ref, wp_ref, wh2_ref, wa_ref,
-         pp_ref, pn_ref, pa_ref, gt_ref, gr2_ref, gq_ref, gsep_ref,
-         atype_ref, aact_ref, nab_ref, nar_ref, nwb_ref) = ins
-        (pos_out, quat_out, vel_out, om_out,
-         vis_out, lid_out, actt_out, actid_out, rew_out) = outs
-
-        carry = core(*ins[:22])
+    def sweep_body(carry, act_ref, he_ref, wp_ref, wh2_ref, wa_ref,
+                   pp_ref, pn_ref, pa_ref, atype_ref, aact_ref,
+                   nab_ref, nar_ref, nwb_ref):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz, wx_, wy_, wz_) = carry
-
-        pos_out[:] = jnp.stack(carry[0:3], axis=1)
-        quat_out[:] = jnp.stack(carry[3:7], axis=1)
-        vel_out[:] = jnp.stack(carry[7:10], axis=1)
-        om_out[:] = jnp.stack(carry[10:13], axis=1)
 
         # ---- per-agent basis + origins [A, L] -----------------------------
         # Per-agent scalars ride the sublane axis as single [A, L] planes
@@ -469,16 +463,15 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
                        .astype(jnp.float32)).astype(jnp.float32)))
 
         seen_f = (hits_f * in_cone.astype(jnp.float32) * ent_valid * a_act)
-        vis_out[:] = seen_f
 
         # Lidar depths: 0 on miss/out-of-range, zeroed when inactive
         # (t < _BIG iff some primitive was hit — ids are not tracked).
-        lid_out[:] = jnp.where((tl < _BIG) & (tl <= LIDAR_MAX_RANGE),
-                               tl, 0.0) * a_act
+        lid_v = jnp.where((tl < _BIG) & (tl <= LIDAR_MAX_RANGE),
+                          tl, 0.0) * a_act
 
         in_range = ta <= INTERACT_RAY_LEN                   # [A, L]
-        actt_out[:] = jnp.where(in_range, ta, _BIG)
-        actid_out[:] = jnp.where(in_range, ia, -1)
+        actt_v = jnp.where(in_range, ta, _BIG)
+        actid_v = jnp.where(in_range, ia, -1)
 
         # Reward flag: any seeker observer sees any hider target column
         # (AGENT_SEEKER = 0, AGENT_HIDER = 1).
@@ -491,8 +484,44 @@ def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
             for a in range(n_a)
         ]) > 0.5                                            # [A, 5, L]
         seen_agents = seen_f[:, :t_agent_cols] > 0.5
-        rew = jnp.any(seen_agents & is_seeker & col_hider, axis=(0, 1))
-        rew_out[:] = rew[None].astype(jnp.float32)
+        rew = jnp.any(seen_agents & is_seeker & col_hider,
+                      axis=(0, 1)).astype(jnp.float32)      # [L]
+        return seen_f, lid_v, actt_v, actid_v, rew
+
+    return sweep_body
+
+
+def _make_fused_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
+                       dynamic_walls: bool = DYNAMIC_WALLS):
+    """Fused physics + ray-sweep kernel (see make_sweep for layout)."""
+    core = make_physics_core(cfg, n_wall, n_plane)
+    sweep = make_sweep(cfg, n_wall, n_plane, dynamic_walls)
+
+    def kernel(*args):
+        ins, outs = args[:27], args[27:]
+        nwb_ref = ins[26]
+        (pos_out, quat_out, vel_out, om_out,
+         vis_out, lid_out, actt_out, actid_out, rew_out) = outs
+
+        # Pass REFS through (not ref[:] materializations): Mosaic lowers
+        # ref row indexing to direct strided loads, while slicing a
+        # materialized [B, k, L] array pays a relayout per field
+        # (measured ~1 ms/step at 16K worlds).
+        carry = core(*ins[:22])
+        pos_out[:] = jnp.stack(carry[0:3], axis=1)
+        quat_out[:] = jnp.stack(carry[3:7], axis=1)
+        vel_out[:] = jnp.stack(carry[7:10], axis=1)
+        om_out[:] = jnp.stack(carry[10:13], axis=1)
+
+        vis, lid, actt, actid, rew = sweep(
+            carry, ins[7], ins[8], ins[12], ins[13], ins[14],
+            ins[15], ins[16], ins[17], ins[22], ins[23], ins[24],
+            ins[25], nwb_ref)
+        vis_out[:] = vis
+        lid_out[:] = lid
+        actt_out[:] = actt
+        actid_out[:] = actid
+        rew_out[:] = rew[None]
 
     return kernel
 
@@ -695,3 +724,486 @@ def fused_step(cfg: EnvConfig, state, ext_force, ext_torque,
     sweep = (wmaj(vis), wmaj(lid), wmaj(act_t),
              wmaj(act_id), wmaj(rew)[:, 0] > 0.5)
     return new_bodies, sweep
+
+
+# ---------------------------------------------------------------------------
+# Megastep: the ENTIRE packed env step (minus level regeneration and obs
+# assembly) as one Pallas launch — movement decode, grab/lock action
+# system, XPBD physics, ray sweep, zero-vel, rewards/dones and episode
+# scores all run in VMEM. Replaces the XLA glue phases of PackedEnv.step
+# (~2 ms/step of HBM round trips at 16K worlds). Semantics are pinned by
+# env/packed.py's component functions (the CPU fallback path) and
+# tests/test_pallas_kernels.py::test_megastep_packed_matches.
+# Reference systems: movementSystem src/sim.cpp:202-254, actionSystem
+# src/sim.cpp:270-370, agentZeroVelSystem src/sim.cpp:256-268,
+# outputRewardsDonesSystem src/sim.cpp:806-841,
+# updateEpisodeResultsSystem src/sim.cpp:843-893.
+# ---------------------------------------------------------------------------
+
+
+def _megastep_misc_layout(cfg: EnvConfig):
+    """Static row layout of the packed small-output array [MR, L]."""
+    n_body = cfg.num_dyn_bodies
+    n_a = cfg.max_agents
+    rows = {}
+    r = 0
+
+    def take(name, k):
+        nonlocal r
+        rows[name] = (r, r + k)
+        r += k
+
+    take("locked", n_body)
+    take("owner", n_body)
+    take("g_target", n_a)
+    take("g_sep", n_a)
+    take("g_r2", 3 * n_a)      # comp-major: x rows, y rows, z rows
+    take("g_relq", 4 * n_a)
+    take("actt", n_a)
+    take("actid", n_a)
+    take("rewards", n_a)
+    take("dones", n_a)
+    take("rew", 1)
+    take("rscore", 2)
+    take("fscore", 2)
+    return rows, r
+
+
+def _make_megastep_kernel(cfg: EnvConfig, n_wall: int, n_plane: int,
+                          dynamic_walls: bool = DYNAMIC_WALLS):
+    from marl_hideandseek_tpu.env.env import (
+        _DEFAULT_BUCKETS, _DEFAULT_F_MAX, _DEFAULT_T_MAX,
+        _INSTANT_BUCKETS, _INSTANT_F_MAX, _INSTANT_T_MAX,
+    )
+    from marl_hideandseek_tpu.types import (
+        AGENT_HIDER, OWNER_HIDER, OWNER_NONE, OWNER_SEEKER,
+    )
+    from marl_hideandseek_tpu.config import (
+        NUM_PREP_STEPS, OOB_LIMIT, OOB_PENALTY, INTERACT_RAY_LEN,
+    )
+    from marl_hideandseek_tpu.ops.pallas_physics import (
+        _qmul, _qconj, _qnorm,
+    )
+
+    core = make_physics_core(cfg, n_wall, n_plane)
+    sweep = make_sweep(cfg, n_wall, n_plane, dynamic_walls)
+    n_body = cfg.num_dyn_bodies
+    (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
+        body_slot_ranges(cfg)
+    n_a = cfg.max_agents
+    misc_rows, misc_r = _megastep_misc_layout(cfg)
+
+    if cfg.zero_agent_velocity:
+        half = _INSTANT_BUCKETS // 2
+        f_per = _INSTANT_F_MAX / half
+        t_per = _INSTANT_T_MAX / half
+    else:
+        half = _DEFAULT_BUCKETS // 2
+        f_per = _DEFAULT_F_MAX / half
+        t_per = _DEFAULT_T_MAX / half
+
+    def qrot_full(q, v, inv=False):
+        # identical op order to env/packed.py's _qrot
+        from marl_hideandseek_tpu.ops.pallas_physics import _qrot as _qr
+        return _qr(q, v, inv=inv)
+
+    def kernel(*args):
+        ins, outs = args[:33], args[33:]
+        nwb_ref = ins[32]
+        # Refs stay refs where the consumer (physics core / sweep / row
+        # reads) can index them directly — materializing [B, k, L] arrays
+        # and slicing costs a Mosaic relayout per field. Only small flat
+        # planes are read up front.
+        (pos, quat, vel, om, invm_ref, invI_ref, active, locked_ref,
+         owner_ref, he, mub, wp, wh2, wa, pp, pn, pa, gt_ref, g_r2,
+         g_q, gsep_ref, atype_ref, aact_ref, nab, nar, act5, hitt_ref,
+         hitid_ref, step_ref, seekf_ref, rscore_ref, fscore_ref) = ins[:32]
+        (pos_out, quat_out, vel_out, om_out, vis_out, lid_out,
+         misc_out) = outs
+        invm_raw = invm_ref[:]                               # [B, L]
+        invI_raw = invI_ref[:]                               # [B, 3, L]
+        locked = locked_ref[:]
+        owner = owner_ref[:]
+        g_t = gt_ref[:]
+        g_sep = gsep_ref[:]
+        atype = atype_ref[:]
+        aact = aact_ref[:]
+        hit_t = hitt_ref[:]
+        hit_id = hitid_ref[:]
+        stepc = step_ref[:]
+        seekf = seekf_ref[:]
+        rscore = rscore_ref[:]
+        fscore = fscore_ref[:]
+
+        # ---- agent rows --------------------------------------------------
+        # Row-stacks (not slices): agent_lo % 8 != 0, so [lo:hi] slices
+        # carry sublane-offset layouts that force Mosaic relayouts on
+        # every downstream op; stacking single rows rebuilds offset-0
+        # layouts once.
+        def astack(arr2, k=None):
+            if k is None:
+                return jnp.stack([arr2[agent_lo + a] for a in range(n_a)])
+            return jnp.stack([arr2[agent_lo + a, k] for a in range(n_a)])
+
+        ap = tuple(astack(pos, k) for k in range(3))              # [A, L]
+        aq = tuple(astack(quat, k) for k in range(4))
+        zero_a = jnp.zeros((n_a, LANE))
+
+        frozen = (atype < 0.5) & (stepc < float(NUM_PREP_STEPS - 1))
+        can_act = (aact > 0.5) & ~frozen
+        gate = can_act.astype(jnp.float32)
+
+        # ---- movement (movementSystem / instantMovementSystem) -----------
+        def acol(k):
+            return jnp.stack([act5[a, k] for a in range(n_a)])    # [A, L]
+
+        fx_l = f_per * (acol(0) - float(half))
+        fy_l = f_per * (acol(1) - float(half))
+        t_z = t_per * (acol(2) - float(half))
+        fw_f = qrot_full(aq, (fx_l, fy_l, zero_a))
+        f_a = tuple(c * gate for c in fw_f)                      # [A, L]
+        tq_a = (zero_a, zero_a, t_z * gate)
+
+        def body_rows(agent_vals):
+            """[A, L] x3 -> [B, 3, L] with zeros on non-agent rows."""
+            parts = []
+            if agent_lo > 0:
+                parts.append(jnp.zeros((agent_lo, 3, LANE)))
+            parts.append(jnp.stack(agent_vals, axis=1))
+            if n_body - agent_hi > 0:
+                parts.append(jnp.zeros((n_body - agent_hi, 3, LANE)))
+            return jnp.concatenate(parts, axis=0)
+
+        ext_f = body_rows(f_a)
+        ext_tq = body_rows(tq_a)
+
+        # ---- action system (grab/lock) -----------------------------------
+        eye = (ap[0], ap[1], ap[2] + 0.5)
+        one_a = jnp.ones((n_a, LANE))
+        fwd = qrot_full(aq, (zero_a, one_a, zero_a))
+
+        want_lock = (acol(4) == 1.0) & can_act
+        want_grab = (acol(3) == 1.0) & can_act
+        is_obj = (hit_id >= float(box_lo)) & (hit_id < float(ramp_hi))
+        tgt = jnp.where(is_obj, hit_id, 0.0)
+
+        sels = [tgt == float(j) for j in range(n_body)]          # [A, L]
+        t_locked = jnp.zeros((n_a, LANE), bool)
+        t_owner = jnp.zeros((n_a, LANE))
+        t_pos = [jnp.zeros((n_a, LANE)) for _ in range(3)]
+        t_quat = [jnp.zeros((n_a, LANE)) for _ in range(4)]
+        for j in range(n_body):
+            s = sels[j]
+            t_locked = t_locked | (s & (locked[j] > 0.5))
+            t_owner = jnp.where(s, owner[j], t_owner)
+            t_pos = [jnp.where(s, pos[j, k], o)
+                     for k, o in enumerate(t_pos)]
+            t_quat = [jnp.where(s, quat[j, k], o)
+                      for k, o in enumerate(t_quat)]
+
+        my_owner = jnp.where(atype > 0.5, float(OWNER_HIDER),
+                             float(OWNER_SEEKER))
+        do_unlock = (want_lock & is_obj & t_locked &
+                     (t_owner == my_owner))
+        do_lock = (want_lock & is_obj & ~t_locked &
+                   (t_owner == float(OWNER_NONE)))
+
+        def row_any(x):
+            """[A, L] bool -> [L] via unrolled ors (layout-safe)."""
+            acc = x[0]
+            for a in range(1, n_a):
+                acc = acc | x[a]
+            return acc
+
+        def row_max(x):
+            acc = x[0]
+            for a in range(1, n_a):
+                acc = jnp.maximum(acc, x[a])
+            return acc
+
+        locked_rows, owner_rows = [], []
+        for j in range(n_body):
+            s = sels[j]
+            lock_j = row_any(s & do_lock)                        # [L]
+            unlock_j = row_any(s & do_unlock)
+            team_j = row_max(jnp.where(s & do_lock, my_owner, 0.0))
+            locked_rows.append(jnp.where(
+                lock_j, 1.0, jnp.where(unlock_j, 0.0, locked[j])))
+            owner_rows.append(jnp.where(
+                lock_j, team_j,
+                jnp.where(unlock_j, float(OWNER_NONE), owner[j])))
+        locked2 = jnp.stack(locked_rows)                         # [B, L]
+        owner2 = jnp.stack(owner_rows)
+
+        has_grab = g_t >= 0.0
+        release = want_grab & has_grab
+        grabbable = is_obj & ~t_locked & (t_owner == float(OWNER_NONE))
+        acquire = want_grab & ~has_grab & grabbable
+
+        safe_t = jnp.where(is_obj, hit_t, 0.0)
+        hit_pos = tuple(e + f * safe_t for e, f in zip(eye, fwd))
+        rel = tuple(h - p for h, p in zip(hit_pos, t_pos))
+        r2_new = qrot_full(tuple(t_quat), rel, inv=True)
+        rel_q_new = _qnorm(_qmul(_qconj(tuple(t_quat)), aq))
+        sep_new = safe_t - 1.25
+
+        def gcol(arr3, k):
+            return jnp.stack([arr3[a, k] for a in range(n_a)])    # [A, L]
+
+        g_t2 = jnp.where(release, -1.0, jnp.where(acquire, tgt, g_t))
+        g_r2_2 = tuple(
+            jnp.where(acquire, n, gcol(g_r2, k))
+            for k, n in enumerate(r2_new))
+        g_q2 = tuple(
+            jnp.where(acquire, n, gcol(g_q, k))
+            for k, n in enumerate(rel_q_new))
+        g_sep2 = jnp.where(acquire, sep_new, g_sep)
+
+        # ---- effective masses + physics + sweep --------------------------
+        dyn = (active[:] > 0.5) & (locked2 < 0.5)
+        dyn_f = dyn.astype(jnp.float32)
+        eff_invm = jnp.where(dyn, invm_raw, 0.0)
+        eff_invI = jnp.where(dyn[:, None, :], invI_raw, 0.0)
+
+        carry = core(pos, quat, vel, om, eff_invm, eff_invI, dyn_f,
+                     active, he, mub, ext_f, ext_tq, wp, wh2, wa,
+                     pp, pn, pa, g_t2,
+                     jnp.stack(g_r2_2, axis=1),
+                     jnp.stack(g_q2, axis=1), g_sep2)
+
+        vis, lid, actt, actid, rew = sweep(
+            carry, active, he, wp, wh2, wa, pp, pn, pa, atype, aact,
+            nab, nar, nwb_ref)
+
+        (px, py, pz, qw_, qx_, qy_, qz_, vx, vy, vz, ox, oy, oz) = carry
+
+        # ---- zero agent velocities (agentZeroVelSystem) ------------------
+        if cfg.zero_agent_velocity:
+            def zero_agent_rows(full, repl):
+                parts = []
+                if agent_lo > 0:
+                    parts.append(full[:agent_lo])
+                parts.append(repl)
+                if n_body - agent_hi > 0:
+                    parts.append(full[agent_hi:])
+                return jnp.concatenate(parts, axis=0)
+
+            zb = jnp.zeros((n_a, LANE))
+            vx = zero_agent_rows(vx, zb)
+            vy = zero_agent_rows(vy, zb)
+            vz = zero_agent_rows(
+                vz, jnp.minimum(astack(vz), 0.0))
+            ox = zero_agent_rows(ox, zb)
+            oy = zero_agent_rows(oy, zb)
+            oz = zero_agent_rows(oz, zb)
+
+        pos_out[:] = jnp.stack((px, py, pz), axis=1)
+        quat_out[:] = jnp.stack((qw_, qx_, qy_, qz_), axis=1)
+        vel_out[:] = jnp.stack((vx, vy, vz), axis=1)
+        om_out[:] = jnp.stack((ox, oy, oz), axis=1)
+        vis_out[:] = vis
+        lid_out[:] = lid
+
+        # ---- rewards / dones (outputRewardsDonesSystem) ------------------
+        team_r = jnp.where(rew > 0.5, -1.0, 1.0)                 # [L]
+        sign = jnp.where(atype < 0.5, -1.0, 1.0)                 # [A, L]
+        reward = sign * team_r[None, :]
+        apx2 = astack(px)
+        apy2 = astack(py)
+        oob = (jnp.abs(apx2) >= OOB_LIMIT) | (jnp.abs(apy2) >= OOB_LIMIT)
+        reward = reward - OOB_PENALTY * oob.astype(jnp.float32)
+        in_prep = stepc < float(NUM_PREP_STEPS - 1)
+        reward = jnp.where(in_prep, 0.0, reward) * aact
+        done = ((stepc == float(cfg.episode_len - 1)) &
+                jnp.ones((n_a, LANE), bool)).astype(jnp.float32)
+
+        # ---- episode results (updateEpisodeResultsSystem) ----------------
+        fresh = stepc == 0.0                                     # [1, L]
+        scores = jnp.where(fresh, 0.0, rscore)                   # [2, L]
+        finished = jnp.where(fresh, 0.0, fscore)
+        hid_idx = jnp.where(seekf > 0.5, 1.0, 0.0)               # [1, L]
+        winner = jnp.where(team_r[None, :] > 0.0, hid_idx,
+                           1.0 - hid_idx)
+        in_seek = stepc >= float(NUM_PREP_STEPS)
+        inc0 = ((winner == 0.0) & in_seek).astype(jnp.float32)
+        inc1 = ((winner == 1.0) & in_seek).astype(jnp.float32)
+        scores2 = scores + jnp.concatenate([inc0, inc1], axis=0)
+        at_end = stepc == float(cfg.episode_len - 1)
+        s0 = scores2[0:1]
+        s1 = scores2[1:2]
+        f0 = jnp.where(s0 > s1, 1.0, jnp.where(s0 < s1, 0.0, 0.5))
+        f1 = jnp.where(s0 > s1, 0.0, jnp.where(s0 < s1, 1.0, 0.5))
+        finished2 = jnp.where(at_end, jnp.concatenate([f0, f1], axis=0),
+                              finished)
+
+        # ---- packed small outputs ----------------------------------------
+        def put(name, rows_arr):
+            lo, hi = misc_rows[name]
+            misc_out[lo:hi] = rows_arr
+
+        put("locked", locked2)
+        put("owner", owner2)
+        put("g_target", g_t2)
+        put("g_sep", g_sep2)
+        put("g_r2", jnp.concatenate(g_r2_2, axis=0))
+        put("g_relq", jnp.concatenate(g_q2, axis=0))
+        put("actt", actt)
+        put("actid", actid.astype(jnp.float32))
+        put("rewards", reward)
+        put("dones", done)
+        put("rew", rew[None, :])
+        put("rscore", scores2)
+        put("fscore", finished2)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _megastep_pallas(cfg: EnvConfig, interpret: bool, n_wall: int,
+                     n_plane: int, *args):
+    n_body = cfg.num_dyn_bodies
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    n_agents = agent_hi - agent_lo
+    n_tgt = (MAX_AGENTS - 1) + cfg.max_boxes + cfg.max_ramps
+    n_worlds = args[0].shape[-1]
+    assert n_worlds % LANE == 0
+    _, misc_r = _megastep_misc_layout(cfg)
+
+    def wspec(*prefix):
+        rank = len(prefix)
+        return pl.BlockSpec(prefix + (LANE,),
+                            lambda i, _r=rank: (0,) * _r + (i,),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        wspec(n_body, 3),   # pos
+        wspec(n_body, 4),   # quat
+        wspec(n_body, 3),   # vel
+        wspec(n_body, 3),   # omega
+        wspec(n_body),      # inv_mass (raw)
+        wspec(n_body, 3),   # inv_inertia (raw)
+        wspec(n_body),      # active
+        wspec(n_body),      # locked
+        wspec(n_body),      # owner
+        wspec(n_body, 3),   # half_ext
+        wspec(n_body),      # friction mu
+        wspec(n_wall, 3),   # wall pos
+        wspec(n_wall, 3),   # wall half
+        wspec(n_wall),      # wall active
+        wspec(n_plane, 3),  # plane point
+        wspec(n_plane, 3),  # plane normal
+        wspec(n_plane),     # plane active
+        wspec(n_agents),        # grab target
+        wspec(n_agents, 3),     # grab r2
+        wspec(n_agents, 4),     # grab rel_q
+        wspec(n_agents),        # grab sep
+        wspec(n_agents),        # agent type
+        wspec(n_agents),        # agent active
+        wspec(1),               # num active boxes
+        wspec(1),               # num active ramps
+        wspec(n_agents, 5),     # actions (f32)
+        wspec(n_agents),        # carried act hit t
+        wspec(n_agents),        # carried act hit id (f32)
+        wspec(1),               # step counter (f32)
+        wspec(1),               # seekers_first (f32)
+        wspec(2),               # running scores (f32)
+        wspec(2),               # finished scores
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # max active walls (i32 [1])
+    ]
+    out_specs = [
+        wspec(n_body, 3), wspec(n_body, 4), wspec(n_body, 3),
+        wspec(n_body, 3),
+        wspec(n_agents, n_tgt),              # vis masks
+        wspec(n_agents, NUM_LIDAR_SAMPLES),  # lidar
+        wspec(misc_r),                       # packed small outputs
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_body, 4, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_body, 3, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((n_agents, n_tgt, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (n_agents, NUM_LIDAR_SAMPLES, n_worlds), jnp.float32),
+        jax.ShapeDtypeStruct((misc_r, n_worlds), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _make_megastep_kernel(cfg, n_wall, n_plane),
+        grid=(n_worlds // LANE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(*args)
+
+
+def megastep_packed(cfg: EnvConfig, ps, actions, interpret: bool = False):
+    """Whole-step megakernel on packed state.
+
+    ps: packed EnvState; actions [A, 5, W] i32. Returns
+    (ps2, SweepResults, rewards [A, W] f32, dones [A, W] i32,
+    team_r [W] f32) — everything PackedEnv.step needs before the reset
+    phase. ps2 has updated bodies/grab/locks/scores but NOT step/seed
+    bookkeeping (caller handles resets + step advance).
+    """
+    from marl_hideandseek_tpu.env.env import SweepResults
+
+    bodies, statics, grab = ps.bodies, ps.statics, ps.grab
+    f32 = lambda x: x.astype(jnp.float32)
+    args = (
+        f32(bodies.pos), f32(bodies.quat), f32(bodies.vel),
+        f32(bodies.omega),
+        f32(bodies.inv_mass), f32(bodies.inv_inertia),
+        f32(bodies.active), f32(bodies.locked), f32(bodies.owner),
+        f32(bodies.half_ext), f32(bodies.friction_mu),
+        f32(statics.wall_pos), f32(statics.wall_half_ext),
+        f32(statics.wall_active),
+        f32(statics.plane_point), f32(statics.plane_normal),
+        f32(statics.plane_active),
+        f32(grab.target), f32(grab.r2), f32(grab.rel_q), f32(grab.sep),
+        f32(ps.agent_type), f32(ps.agent_active),
+        f32(ps.num_active_boxes)[None], f32(ps.num_active_ramps)[None],
+        f32(actions), f32(ps.act_hit_t), f32(ps.act_hit_id),
+        f32(ps.step)[None], f32(ps.seekers_first)[None],
+        f32(ps.running_scores), f32(ps.finished_scores),
+        _wall_bound(statics.wall_active, axis=0),
+    )
+    (pos, quat, vel, omega, vis, lid, misc) = _megastep_pallas(
+        cfg, interpret, statics.wall_pos.shape[0],
+        statics.plane_point.shape[0], *args)
+
+    rows, _ = _megastep_misc_layout(cfg)
+
+    def take(name):
+        lo, hi = rows[name]
+        return misc[lo:hi]
+
+    n_a = cfg.max_agents
+    locked2 = take("locked") > 0.5
+    owner2 = take("owner").astype(bodies.owner.dtype)
+    g_t2 = take("g_target").astype(grab.target.dtype)
+    g_sep2 = take("g_sep")
+    g_r2_2 = jnp.stack(
+        [take("g_r2")[k * n_a:(k + 1) * n_a] for k in range(3)], axis=1)
+    g_q2 = jnp.stack(
+        [take("g_relq")[k * n_a:(k + 1) * n_a] for k in range(4)], axis=1)
+    actt = take("actt")
+    actid = take("actid").astype(jnp.int32)
+    rewards = take("rewards")
+    dones = take("dones").astype(jnp.int32)
+    rew = take("rew")[0]
+    team_r = jnp.where(rew > 0.5, -1.0, 1.0)
+
+    ps2 = ps.replace(
+        bodies=bodies.replace(pos=pos, quat=quat, vel=vel, omega=omega,
+                              locked=locked2, owner=owner2),
+        grab=grab.replace(target=g_t2, r2=g_r2_2, rel_q=g_q2,
+                          sep=g_sep2),
+        hider_team_reward=team_r,
+        running_scores=take("rscore").astype(ps.running_scores.dtype),
+        finished_scores=take("fscore"),
+    )
+    sweep = SweepResults(vis_seen=vis, lidar=lid, act_t=actt,
+                         act_id=actid, rew_seen=rew > 0.5)
+    return ps2, sweep, rewards, dones, team_r

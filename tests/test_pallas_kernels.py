@@ -161,3 +161,77 @@ def test_physics_kernel_multi_step(state):
     active = np.asarray(bodies.active)
     z = np.asarray(bodies.pos[..., 2])
     assert (z[active] > -1.0).all()
+
+
+def test_megastep_packed_matches(state):
+    """The whole-step megakernel (movement + grab/lock + physics + sweep +
+    zero-vel + rewards/scores in one launch) matches the packed XLA
+    fallback path phase-for-phase on the same state and actions."""
+    from marl_hideandseek_tpu.env import packed as P
+
+    ps = P.pack_state(state)
+    # Mid-episode step counter so seekers are unfrozen and rewards are
+    # live; non-neutral actions exercise movement + grab/lock attempts.
+    ps = ps.replace(step=jnp.full_like(ps.step, 100))
+    key = jax.random.PRNGKey(7)
+    n_a = CFG.max_agents
+    acts = jnp.concatenate([
+        jax.random.randint(key, (n_a, 3, W), 0, 5),
+        jax.random.randint(jax.random.fold_in(key, 1), (n_a, 2, W), 0, 2),
+    ], axis=1)
+
+    ps_k, sweep_k, rew_k, done_k, team_k = pallas_step.megastep_packed(
+        CFG, ps, acts, interpret=True)
+
+    # Fallback: the packed component functions around the interpret-mode
+    # fused kernel (same physics/sweep numerics, glue in XLA).
+    ext_f, ext_t = P._movement_packed(CFG, ps, acts)
+    ps_f = P._action_system_packed(CFG, ps, acts, ps.act_hit_t,
+                                   ps.act_hit_id)
+    bodies_f, sweep_f = pallas_step.fused_step_packed(
+        CFG, ps_f, ext_f, ext_t, interpret=True)
+    ps_f = ps_f.replace(bodies=bodies_f)
+    if CFG.zero_agent_velocity:
+        ps_f = P._zero_agent_velocities_packed(CFG, ps_f)
+    team_f = jnp.where(sweep_f.rew_seen, -1.0, 1.0)
+    ps_f = ps_f.replace(hider_team_reward=team_f)
+    rew_f, done_f = P._rewards_dones_packed(CFG, ps_f, team_f)
+    ps_f = P._episode_results_packed(CFG, ps_f, team_f)
+
+    for name in ("pos", "quat", "vel", "omega"):
+        a = np.asarray(getattr(ps_k.bodies, name))
+        b = np.asarray(getattr(ps_f.bodies, name))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
+    np.testing.assert_array_equal(np.asarray(ps_k.bodies.locked),
+                                  np.asarray(ps_f.bodies.locked))
+    np.testing.assert_array_equal(np.asarray(ps_k.bodies.owner),
+                                  np.asarray(ps_f.bodies.owner))
+    np.testing.assert_array_equal(np.asarray(ps_k.grab.target),
+                                  np.asarray(ps_f.grab.target))
+    np.testing.assert_allclose(np.asarray(ps_k.grab.r2),
+                               np.asarray(ps_f.grab.r2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ps_k.grab.rel_q),
+                               np.asarray(ps_f.grab.rel_q),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ps_k.grab.sep),
+                               np.asarray(ps_f.grab.sep),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sweep_k.vis_seen),
+                                  np.asarray(sweep_f.vis_seen))
+    np.testing.assert_allclose(np.asarray(sweep_k.lidar),
+                               np.asarray(sweep_f.lidar),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sweep_k.act_id),
+                                  np.asarray(sweep_f.act_id))
+    np.testing.assert_array_equal(np.asarray(sweep_k.rew_seen),
+                                  np.asarray(sweep_f.rew_seen))
+    np.testing.assert_allclose(np.asarray(rew_k), np.asarray(rew_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(done_k), np.asarray(done_f))
+    np.testing.assert_allclose(np.asarray(team_k), np.asarray(team_f))
+    np.testing.assert_array_equal(np.asarray(ps_k.running_scores),
+                                  np.asarray(ps_f.running_scores))
+    np.testing.assert_allclose(np.asarray(ps_k.finished_scores),
+                               np.asarray(ps_f.finished_scores))
