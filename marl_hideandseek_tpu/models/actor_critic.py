@@ -85,6 +85,12 @@ class BackboneShared(nn.Module):
         feat, new_state = self.encoder(rnn_states[0], obs, train)
         return (feat, feat), (new_state,)
 
+    def actor_only(self, rnn_states, obs, train):
+        """Shared encoder: actor-only is the full encoder pass."""
+        obs = self.prefix(obs, train) if self.prefix else obs
+        feat, new_state = self.encoder(rnn_states[0], obs, train)
+        return feat, (new_state,)
+
     def sequence(self, start_states, seq_ends, seq_obs, train):
         seq_obs = self.prefix(seq_obs, train) if self.prefix else seq_obs
         feat = self.encoder.sequence(start_states[0], seq_ends, seq_obs,
@@ -118,6 +124,15 @@ class BackboneSeparate(nn.Module):
         c_feat, c_state = self.critic_encoder(rnn_states[1], obs, train)
         return (a_feat, c_feat), (a_state, c_state)
 
+    def actor_only(self, rnn_states, obs, train):
+        """Actor encoder only (frozen-policy rollouts skip the critic);
+        the critic recurrent state passes through unchanged — it is
+        cleared at the same episode boundary where a slot can be
+        reassigned, so no stale state ever reaches a live critic."""
+        obs = self.prefix(obs, train) if self.prefix else obs
+        a_feat, a_state = self.actor_encoder(rnn_states[0], obs, train)
+        return a_feat, (a_state, rnn_states[1])
+
     def sequence(self, start_states, seq_ends, seq_obs, train):
         seq_obs = self.prefix(seq_obs, train) if self.prefix else seq_obs
         a = self.actor_encoder.sequence(start_states[0], seq_ends, seq_obs,
@@ -148,6 +163,14 @@ class ActorCritic(nn.Module):
         dists = self.actor(a_feat)
         critic_out = self.critic(c_feat)
         return dists, critic_out, new_states
+
+    def act(self, rnn_states, obs, train: bool = False):
+        """Actor-only rollout step for frozen (past) policies: returns
+        (action_dists, new_rnn_states) without evaluating the critic."""
+        a_feat, new_states = self.backbone.actor_only(rnn_states, obs,
+                                                      train)
+        dists = self.actor(a_feat)
+        return dists, new_states
 
     def sequence(self, start_states, seq_ends, seq_obs, train: bool = True):
         """BPTT replay over stored [T, N, ...] sequences."""

@@ -90,6 +90,13 @@ class TrainConfig:
     compute_dtype: jnp.dtype = jnp.float32
     seed: int = 5
     metrics_buffer_size: int = 10
+    # Grouped PPO: gather the trainable half of the agent batch (the
+    # train-side team slots) before the epoch loop instead of masking the
+    # full batch per policy — halves learner FLOPs under past-play PBT.
+    # Only valid when the trainable slot count is statically N/2: fixed
+    # symmetric team sizes, past_play_portion == 1.0. scripts/train.py
+    # enables it for qualifying configs.
+    ppo_group_trainable: bool = False
 
     def __post_init__(self):
         assert self.steps_per_update % self.num_bptt_chunks == 0, (

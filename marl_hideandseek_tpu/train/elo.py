@@ -68,7 +68,10 @@ def matches_from_episode_results(episode_results, team_policies, dones_w):
     flat_res = episode_results.reshape(-1, 2)
     flat_pol = team_policies.reshape(-1, 2)
     flat_done = dones_w.reshape(-1)
-    return (flat_pol[:, 0], flat_pol[:, 1], flat_res[:, 0], flat_done)
+    # A team slot can be policy-less (-1) when an episode spawned an
+    # empty team; such matches carry no rating information.
+    valid = flat_done & (flat_pol[:, 0] >= 0) & (flat_pol[:, 1] >= 0)
+    return (flat_pol[:, 0], flat_pol[:, 1], flat_res[:, 0], valid)
 
 
 def eval_elo(training_mgr):

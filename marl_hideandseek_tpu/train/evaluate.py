@@ -98,15 +98,23 @@ def eval_policies(dev, eval_cfg: EvalConfig, env, policy: Policy,
         t1 = ((w_idx + 1 + (w_idx // n_pol)) % n_pol).astype(jnp.int32)
     else:
         t1 = t0
-    half = a_per_w // 2
-    assignments = jnp.concatenate([
-        jnp.repeat(t0[:, None], half, axis=1),
-        jnp.repeat(t1[:, None], a_per_w - half, axis=1),
-    ], axis=1).reshape(-1)
 
     @jax.jit
     def eval_step(state, obs, rnn, key):
         from marl_hideandseek_tpu.train.rollout import apply_ensemble
+        from marl_hideandseek_tpu.types import AGENT_HIDER
+
+        # Per-step team-keyed assignment: hiders play t0, seekers t1
+        # (round-robin pairing covers both orders across worlds) — valid
+        # for any per-episode hider/seeker composition.
+        is_h = state.agent_type == AGENT_HIDER               # [W, A]
+        assignments = jnp.where(
+            is_h, t0[:, None], t1[:, None]).reshape(-1).astype(jnp.int32)
+        # Spawn-ordered team policies of the CURRENT episode for ELO
+        # attribution (episode_results rows follow seekersFirst).
+        sf = state.seekers_first.astype(bool)                # [W]
+        team_pol = jnp.stack(
+            [jnp.where(sf, t1, t0), jnp.where(sf, t0, t1)], axis=-1)
 
         normalized = norm.normalize(obs_stats, obs)
         logits, _, new_rnn = apply_ensemble(
@@ -124,7 +132,7 @@ def eval_policies(dev, eval_cfg: EvalConfig, env, policy: Policy,
             norm.prep(result.obs))
         dones = result.dones.reshape(-1).astype(bool)
         new_rnn = policy.actor_critic.clear_recurrent_state(new_rnn, dones)
-        return state, next_obs, new_rnn, result, actions
+        return state, next_obs, new_rnn, result, actions, team_pol
 
     elo = jnp.full((n_pol,), elo_mod.ELO_START)
     key = jax.random.PRNGKey(11)
@@ -132,10 +140,10 @@ def eval_policies(dev, eval_cfg: EvalConfig, env, policy: Policy,
     n_finished = 0
     for step in range(eval_cfg.num_eval_steps):
         key, sub = jax.random.split(key)
-        state, obs, rnn, result, actions = eval_step(state, obs, rnn, sub)
+        state, obs, rnn, result, actions, team_pol = eval_step(
+            state, obs, rnn, sub)
         dones_w = result.dones[:, 0, 0].astype(bool)
         if competitive:
-            team_pol = jnp.stack([t0, t1], axis=-1)
             idx_a, idx_b, score_a, valid = \
                 elo_mod.matches_from_episode_results(
                     result.episode_results[None], team_pol[None],

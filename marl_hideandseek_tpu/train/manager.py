@@ -160,16 +160,12 @@ class TrainingManager:
             cfg, self.policy, tx, st.params, st.opt_states, obs_stats,
             st.value_stats, st.hyper_params, buffer, k_ppo)
 
-        # ELO from finished training episodes: team 0 = first half of agent
-        # slots, team 1 = second half.
-        a_per_w = self.env.cfg.max_agents
-        w = self.env.cfg.num_worlds
-        assigns = buffer.assignments.reshape(
-            cfg.num_bptt_chunks, -1, w, a_per_w)
-        team_pol = jnp.stack(
-            [assigns[..., 0], assigns[..., a_per_w // 2]], axis=-1)
+        # ELO from finished training episodes, attributed by ACTUAL team
+        # membership (rollout stores per-step spawn-ordered team policies
+        # derived from agent_type — valid for any hider/seeker
+        # composition, reference: src/mgr.cpp:1322-1331).
         idx_a, idx_b, score_a, valid = elo_mod.matches_from_episode_results(
-            roll_metrics["episode_results"], team_pol,
+            roll_metrics["episode_results"], roll_metrics["team_pol"],
             roll_metrics["dones_w"])
         elo = elo_mod.update_elo_pairwise(st.elo, idx_a, idx_b, score_a,
                                           valid)
@@ -244,17 +240,19 @@ class TrainingManager:
         # Fresh round-robin team-vs-team assignments over ALL policies
         # (train + past) — same scheme as train/evaluate.py — so eval ELO
         # is unbiased by the training matchmaking portions.
+        from marl_hideandseek_tpu.types import AGENT_HIDER
+
         n_pol = cfg.total_policies
         w = self.env.cfg.num_worlds
-        a_per_w = self.env.cfg.max_agents
         w_idx = jnp.arange(w)
         t0 = (w_idx % n_pol).astype(jnp.int32)
         t1 = ((w_idx + 1 + (w_idx // n_pol)) % n_pol).astype(jnp.int32)
-        half = a_per_w // 2
-        fresh_assign = jnp.concatenate([
-            jnp.repeat(t0[:, None], half, axis=1),
-            jnp.repeat(t1[:, None], a_per_w - half, axis=1),
-        ], axis=1).reshape(-1)
+        # Assign by CURRENT team membership (hiders get t0, seekers t1;
+        # the round-robin pairing covers both orders across worlds), so
+        # seeding is correct for any hider/seeker composition.
+        is_h = (st.rollout.env_state.agent_type == AGENT_HIDER).T  # [W, A]
+        fresh_assign = jnp.where(
+            is_h, t0[:, None], t1[:, None]).reshape(-1).astype(jnp.int32)
 
         eval_cfg = dataclasses.replace(
             cfg, steps_per_update=steps, num_bptt_chunks=1)
@@ -263,11 +261,9 @@ class TrainingManager:
             eval_cfg, self.env, self.policy, self.all_params(),
             st.obs_stats, rollout, st.value_stats)
 
-        assigns = buffer.assignments.reshape(1, -1, w, a_per_w)
-        team_pol = jnp.stack(
-            [assigns[..., 0], assigns[..., a_per_w // 2]], axis=-1)
         idx_a, idx_b, score_a, valid = elo_mod.matches_from_episode_results(
-            metrics["episode_results"], team_pol, metrics["dones_w"])
+            metrics["episode_results"], metrics["team_pol"],
+            metrics["dones_w"])
         elo = elo_mod.update_elo_pairwise(st.elo, idx_a, idx_b, score_a,
                                           valid)
         return self.replace(state=st.replace(elo=elo))
@@ -385,7 +381,15 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
     else:
         past_params = {}  # empty pytree (orbax rejects zero-size arrays)
 
-    assignments = jnp.zeros((n_agents,), jnp.int32)
+    # Initial matchmaking over all worlds (all-done resample) so the very
+    # first rollout already has team-keyed, portion-correct assignments —
+    # required by the grouped PPO path's trainable-slot capacity.
+    from marl_hideandseek_tpu.train.rollout import _resample_assignments
+    k_roll, k_assign0 = jax.random.split(k_roll)
+    assignments = _resample_assignments(
+        k_assign0, jnp.ones((env.cfg.num_worlds,), bool),
+        jnp.zeros((n_agents,), jnp.int32), cfg, env.cfg.num_worlds,
+        env.cfg.max_agents, env_state.agent_type.T)
     rollout = RolloutState(
         env_state=env_state,
         obs=obs,

@@ -175,6 +175,62 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
         "rnn_start": buffer.rnn_start_states,
     }
 
+    # Grouped PPO (cfg.ppo_group_trainable): under pure past-play PBT
+    # only the train-side team slots (statically N/2 of the batch) carry
+    # trainable data — the other half belongs to frozen past policies.
+    # Gather the trainable slots once (keyed by each slot's assignment at
+    # rollout start) so every epoch's forward/backward runs on half the
+    # batch. Assignment masking inside the loss is unchanged and still
+    # exact per timestep; the only lost data is the post-switch fragment
+    # of slots whose policy changed mid-rollout (an episode ended AND the
+    # resample moved the slot between train/past sides), which is a few
+    # percent of agent-steps — the same fragments the reference's
+    # per-update policy_assignments routing attributes statically.
+    pbt = cfg.pbt
+    grouped = (cfg.ppo_group_trainable and pbt is not None
+               and pbt.num_past_policies > 0
+               and pbt.self_play_portion == 0.0
+               and pbt.cross_play_portion == 0.0)
+    if grouped:
+        # Per-policy capacity: n/2 trainable slots split ~evenly between
+        # the train policies by matchmaking; cap at 1.25x the even share
+        # (> 8 sigma of the binomial world draw at 1024+ worlds, and
+        # never above the n/2 total). In the astronomically rare
+        # overflow, the excess agents of that policy are dropped from
+        # this update's loss (stable slot order keeps the drop
+        # deterministic).
+        n_group = n // 2
+        if n_train > 1:
+            share = n_group // n_train
+            cap = min(n_group, ((share + share // 4) + 127) // 128 * 128)
+        else:
+            cap = n_group
+        start_assign = buffer.assignments[0, 0]              # [N]
+
+        def idx_for(p):
+            order = jnp.argsort(
+                (start_assign != p).astype(jnp.int32), stable=True)
+            return order[:cap]
+
+        g_idx = jnp.stack([idx_for(p) for p in range(n_train)])  # [P,cap]
+
+        def take_n(idx, x):
+            return jnp.take(x, idx, axis=2)
+
+        def take_rnn(idx, x):                                # [C,..,N,H]
+            return jnp.take(x, idx, axis=-2)
+
+        # Leaves become [P, C, T, cap, ...]: each train policy sees only
+        # (a superset padding of) its own agents' sequences.
+        data = {k: (jax.tree.map(
+                        lambda x: jax.vmap(take_rnn, in_axes=(0, None))(
+                            g_idx, x), v) if k == "rnn_start"
+                    else jax.tree.map(
+                        lambda x: jax.vmap(take_n, in_axes=(0, None))(
+                            g_idx, x), v))
+                for k, v in data.items()}
+        n = cap
+
     num_mb = cfg.algo.num_mini_batches
     assert n % num_mb == 0, "agents must divide into minibatches"
     mb_size = n // num_mb
@@ -195,17 +251,24 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
             else:
                 idx = jax.lax.dynamic_slice_in_dim(
                     perm, mb_idx * mb_size, mb_size)
+                ag_axis = 3 if grouped else 2
 
-                def take_agents(x):  # [C, T, N, ...] over agent axis 2
-                    return jnp.take(x, idx, axis=2)
+                def take_agents(x):  # [(P,) C, T, N, ...] agent axis
+                    return jnp.take(x, idx, axis=ag_axis)
 
-                mb = {k: jax.tree.map(take_agents, v)
+                def take_agents_rnn(x):  # [(P,) C, .., N, H]
+                    return jnp.take(x, idx, axis=-2)
+
+                mb = {k: (jax.tree.map(take_agents_rnn, v)
+                          if k == "rnn_start"
+                          else jax.tree.map(take_agents, v))
                       for k, v in data.items()}
 
-            def one_policy(params, opt_state, p_idx, lr, ent_coef):
+            def one_policy(params, opt_state, p_idx, lr, ent_coef, mb_p):
                 def loss_fn(p):
                     a_l, v_l, ent, ratio, mask, denom = _policy_loss(
-                        cfg, policy, p, obs_stats, value_stats, mb, p_idx)
+                        cfg, policy, p, obs_stats, value_stats, mb_p,
+                        p_idx)
                     total = (a_l + cfg.algo.value_loss_coef * v_l -
                              ent_coef * ent)
                     return total, (a_l, v_l, ent)
@@ -219,9 +282,11 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
                 return new_params, new_opt, (total,) + aux
 
             p_indices = jnp.arange(n_train)
-            new_params, new_opts, auxes = jax.vmap(one_policy)(
+            mb_axes = 0 if grouped else None
+            new_params, new_opts, auxes = jax.vmap(
+                one_policy, in_axes=(0, 0, 0, 0, 0, mb_axes))(
                 all_params, all_opt_states, p_indices,
-                hyper_params["lr"], hyper_params["entropy_coef"])
+                hyper_params["lr"], hyper_params["entropy_coef"], mb)
             return (new_params, new_opts), auxes
 
         (all_params, all_opt_states), auxes = jax.lax.scan(

@@ -59,7 +59,8 @@ class RolloutBuffer:
 
 
 def apply_ensemble(policy: Policy, all_params, rnn_states, obs,
-                   assignments, num_policies: int):
+                   assignments, num_policies: int,
+                   num_train: int | None = None):
     """Apply every policy, select by assignment.
 
     all_params: pytree with leading policy axis P.
@@ -70,10 +71,16 @@ def apply_ensemble(policy: Policy, all_params, rnn_states, obs,
     scalarized element-at-a-time loops on TPU (~14 ms per [4,4096,256]
     leaf — 97% of round-2's training step time); the one-hot
     multiply-reduce is exact for 0/1 weights and fully vectorized.
+
+    With `num_train` set, policies at index >= num_train are frozen past
+    policies: they run actor-only (no critic forward; values report 0 and
+    their agents' critic RNN state passes through — both are unused and
+    cleared before any slot returns to a train policy).
     """
+    ac = policy.actor_critic
+
     def one(params):
-        dists, critic_out, new_rnn = policy.actor_critic.apply(
-            params, rnn_states, obs)
+        dists, critic_out, new_rnn = ac.apply(params, rnn_states, obs)
         return dists.logits, critic_out["value"][..., 0], new_rnn
 
     if num_policies == 1:
@@ -81,7 +88,25 @@ def apply_ensemble(policy: Policy, all_params, rnn_states, obs,
         logits, values, new_rnn = one(params0)
         return logits, values, new_rnn
 
-    logits_all, values_all, rnn_all = jax.vmap(one)(all_params)  # [P, N, ..]
+    if num_train is not None and 0 < num_train < num_policies:
+        def one_act(params):
+            dists, new_rnn = ac.apply(params, rnn_states, obs,
+                                      method=ac.act)
+            return dists.logits, new_rnn
+
+        train_params = jax.tree.map(lambda x: x[:num_train], all_params)
+        past_params = jax.tree.map(lambda x: x[num_train:], all_params)
+        lg_t, val_t, rnn_t = jax.vmap(one)(train_params)
+        lg_p, rnn_p = jax.vmap(one_act)(past_params)
+        logits_all = jnp.concatenate([lg_t, lg_p], axis=0)
+        values_all = jnp.concatenate(
+            [val_t, jnp.zeros((num_policies - num_train,) +
+                              val_t.shape[1:], val_t.dtype)], axis=0)
+        rnn_all = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), rnn_t, rnn_p)
+    else:
+        logits_all, values_all, rnn_all = jax.vmap(one)(
+            all_params)                                      # [P, N, ..]
     onehot = jax.nn.one_hot(assignments, num_policies,
                             dtype=jnp.float32)  # [N, P]
 
@@ -117,38 +142,50 @@ def denormalize_values(cfg: TrainConfig, value_stats, values, assignments):
 
 
 def _resample_assignments(key, dones_w, assignments, cfg: TrainConfig,
-                          num_worlds, agents_per_world):
+                          num_worlds, agents_per_world, agent_type):
     """Resample per-world team->policy assignments for finished episodes
     (the reference resamples the policy_assignments tensor between
     episodes). Matchmaking follows PBTConfig portions; with no PBT all
-    agents use policy 0."""
+    agents use policy 0.
+
+    Teams are keyed by ACTUAL team membership — `agent_type` [W, A] from
+    the post-reset env state (AGENT_HIDER / AGENT_SEEKER), matching the
+    reference's per-agent policy_assignments routing
+    (src/mgr.cpp:1322-1331) for any hider/seeker composition, including
+    variable per-episode team sizes and RandomFlipTeams. The train-side
+    policy is given to a uniformly drawn role (hiders or seekers) per
+    match, the other side follows the self/cross/past portions."""
     pbt = cfg.pbt
     if pbt is None or pbt.total_policies == 1:
         return assignments
 
-    k1, k2, k3 = jax.random.split(key, 3)
+    from marl_hideandseek_tpu.types import AGENT_HIDER
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     n_train = pbt.num_train_policies
     n_total = pbt.total_policies
 
-    # Team 0 always trains; team 1 is past/cross/self by the configured
-    # portions (reference defaults: past_play_portion=1.0,
-    # jax_train.py:108-110).
+    # Train side policy + opponent side per the configured portions
+    # (reference defaults: past_play_portion=1.0, jax_train.py:108-110).
     t0 = jax.random.randint(k1, (num_worlds,), 0, n_train)
     r = jax.random.uniform(k2, (num_worlds,))
     past = jax.random.randint(
         k3, (num_worlds,), n_train, max(n_total, n_train + 1))
-    cross = jax.random.randint(k3, (num_worlds,), 0, n_train)
+    cross = jax.random.randint(k4, (num_worlds,), 0, n_train)
     t1 = jnp.where(r < pbt.self_play_portion, t0,
                    jnp.where(r < pbt.self_play_portion +
                              pbt.cross_play_portion, cross,
                              jnp.where(jnp.array(pbt.num_past_policies > 0),
                                        past, cross)))
 
-    half = agents_per_world // 2
-    world_assign = jnp.concatenate([
-        jnp.repeat(t0[:, None], half, axis=1),
-        jnp.repeat(t1[:, None], agents_per_world - half, axis=1),
-    ], axis=1)  # [W, A]
+    # Which role the train side controls this episode (uniform draw —
+    # the slot-half scheme got this implicitly from RandomFlipTeams).
+    hiders_train = jax.random.bernoulli(k5, 0.5, (num_worlds,))
+    h_pol = jnp.where(hiders_train, t0, t1)                  # [W]
+    s_pol = jnp.where(hiders_train, t1, t0)
+    is_hider = agent_type == AGENT_HIDER                     # [W, A]
+    world_assign = jnp.where(is_hider, h_pol[:, None], s_pol[:, None])
+
     new_flat = world_assign.reshape(-1)
     done_flat = jnp.repeat(dones_w, agents_per_world)
     return jnp.where(done_flat, new_flat, assignments).astype(jnp.int32)
@@ -183,7 +220,7 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         normalized = norm.normalize(obs_stats, obs)
         logits, values, new_rnn = apply_ensemble(
             policy, all_params, rnn_states, normalized, assignments,
-            n_total_policies)
+            n_total_policies, num_train=cfg.num_train_policies)
         values = denormalize_values(cfg, value_stats, values, assignments)
         from marl_hideandseek_tpu.models import DiscreteActionDistributions
         dists = DiscreteActionDistributions(
@@ -195,6 +232,13 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         actions_packed = jnp.moveaxis(
             actions.reshape(num_worlds, a_per_w, -1), 0, -1)
         pre_step = env_state.step  # [W] counter BEFORE this transition
+        # Pre-step team membership + spawn order: the episode these
+        # transitions (and any end-of-episode result) belong to. Used to
+        # attribute ELO matches by actual team, not slot halves.
+        from marl_hideandseek_tpu.types import AGENT_HIDER
+        pre_is_h = (env_state.agent_type == AGENT_HIDER).T   # [W, A]
+        pre_act = env_state.agent_active.astype(bool).T      # [W, A]
+        pre_sf = env_state.seekers_first.astype(bool)        # [W]
         env_state, result = penv.step(env_state, actions_packed)
         # Flatten worlds x agents into the policy batch axis.
         next_obs = jax.tree.map(flat, norm.prep(result.obs))
@@ -204,8 +248,25 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
 
         new_rnn = policy.actor_critic.clear_recurrent_state(new_rnn, dones)
         dones_w = result.dones[0].astype(bool)              # [W]
+        # Matchmaking keys off the POST-step agent_type: on reset steps
+        # that is the fresh episode's composition (the one the new
+        # assignment will control).
         new_assign = _resample_assignments(
-            k_assign, dones_w, assignments, cfg, num_worlds, a_per_w)
+            k_assign, dones_w, assignments, cfg, num_worlds, a_per_w,
+            env_state.agent_type.T)
+
+        # Per-world (first-spawned, second-spawned) team policies of the
+        # pre-step episode, for ELO match attribution (episode_results
+        # rows are keyed by TeamState.seekersFirst spawn order,
+        # reference: src/sim.cpp:843-893).
+        assign_wa = assignments.reshape(num_worlds, a_per_w)
+        h_pol = jnp.max(jnp.where(pre_is_h & pre_act, assign_wa, -1),
+                        axis=1)                              # [W]
+        s_pol = jnp.max(jnp.where(~pre_is_h & pre_act, assign_wa, -1),
+                        axis=1)
+        team_pol = jnp.stack(
+            [jnp.where(pre_sf, s_pol, h_pol),
+             jnp.where(pre_sf, h_pol, s_pol)], axis=-1)      # [W, 2]
 
         # Domain learning signal: fraction of seek-phase world-steps where
         # the hiders are hidden (hider_team_reward > 0; reference semantics
@@ -237,6 +298,7 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
             "assignments": assignments,
             "episode_results": result.episode_results.T,   # [W, 2]
             "dones_w": dones_w,
+            "team_pol": team_pol,                          # [W, 2]
             "seek_steps": jnp.sum(in_seek),
             "hidden_steps": jnp.sum(hidden * in_seek),
             "locked_steps": jnp.sum(locked_w),
@@ -266,7 +328,7 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
     normalized = norm.normalize(obs_stats, final_obs)
     _, boot_values, _ = apply_ensemble(
         policy, all_params, final_rnn, normalized, final_assign,
-        n_total_policies)
+        n_total_policies, num_train=cfg.num_train_policies)
     boot_values = denormalize_values(
         cfg, value_stats, boot_values, final_assign)
 
@@ -285,6 +347,7 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
     metrics = {
         "episode_results": chunks["episode_results"],
         "dones_w": chunks["dones_w"],
+        "team_pol": chunks["team_pol"],
         "mean_reward": jnp.mean(chunks["rewards"]),
         "hidden_frac": (jnp.sum(chunks["hidden_steps"]) /
                         jnp.maximum(jnp.sum(chunks["seek_steps"]), 1.0)),
@@ -299,25 +362,29 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
 
 def compute_gae(cfg: TrainConfig, buffer: RolloutBuffer):
     """Masked GAE over the [C*T/C] time axis (gamma/lambda from
-    reference: jax_train.py:152-153)."""
+    reference: jax_train.py:152-153).
+
+    The first-order recurrence A_t = delta_t + gamma*lambda*(1-d_t)*
+    A_{t+1} runs as an associative scan (log2 T passes over full arrays)
+    instead of a sequential lax.scan of T tiny ops — the sequential form
+    cost ~12 ms/update at 1024 worlds purely in per-step scheduling."""
     c, t, n = buffer.rewards.shape
     rewards = buffer.rewards.reshape(c * t, n)
     values = buffer.values.reshape(c * t, n)
     dones = buffer.dones.reshape(c * t, n).astype(jnp.float32)
 
-    def scan_fn(carry, xs):
-        gae, next_value = carry
-        r, v, d = xs
-        nonterminal = 1.0 - d
-        delta = r + cfg.gamma * next_value * nonterminal - v
-        gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
-        return (gae, v), gae
+    nonterminal = 1.0 - dones
+    next_values = jnp.concatenate(
+        [values[1:], buffer.bootstrap_value[None]], axis=0)
+    delta = rewards + cfg.gamma * next_values * nonterminal - values
+    coef = cfg.gamma * cfg.gae_lambda * nonterminal
 
-    (_, _), advantages = jax.lax.scan(
-        scan_fn,
-        (jnp.zeros((n,)), buffer.bootstrap_value),
-        (rewards, values, dones),
-        reverse=True,
-    )
+    # Reverse-time linear recurrence s_i = a_i * s_{i-1} + b_i.
+    def comb(l, r):
+        return (r[0] * l[0], r[0] * l[1] + r[1])
+
+    _, adv_r = jax.lax.associative_scan(
+        comb, (jnp.flip(coef, 0), jnp.flip(delta, 0)))
+    advantages = jnp.flip(adv_r, 0)
     returns = advantages + values
     return (advantages.reshape(c, t, n), returns.reshape(c, t, n))

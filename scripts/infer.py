@@ -80,15 +80,19 @@ def main():
     norm = policy.obs_preprocess
     n_agents = args.num_worlds * cfg.max_agents
 
-    # Round-robin team-vs-team matchups over the policy axis.
+    # Round-robin team-vs-team matchups over the policy axis, keyed by
+    # actual team membership per step (hiders play t0, seekers t1;
+    # the pairing covers both orders across worlds) — valid for any
+    # hider/seeker composition.
     w_idx = jnp.arange(args.num_worlds)
     t0 = (w_idx % n_pol).astype(jnp.int32)
     t1 = ((w_idx + 1 + (w_idx // n_pol)) % n_pol).astype(jnp.int32)
-    half = cfg.max_agents // 2
-    assigns = jnp.concatenate([
-        jnp.repeat(t0[:, None], half, axis=1),
-        jnp.repeat(t1[:, None], cfg.max_agents - half, axis=1),
-    ], axis=1).reshape(-1)
+
+    def team_assigns(env_state):
+        from marl_hideandseek_tpu.types import AGENT_HIDER
+        is_h = env_state.agent_type == AGENT_HIDER           # [W, A]
+        return jnp.where(
+            is_h, t0[:, None], t1[:, None]).reshape(-1).astype(jnp.int32)
 
     def flat(o):
         return jax.tree.map(
@@ -98,7 +102,8 @@ def main():
     def eval_step(env_state, obs, rnn_states, key):
         normalized = norm.normalize(obs_stats, obs)
         logits, _, new_rnn = apply_ensemble(
-            policy, params, rnn_states, normalized, assigns, n_pol)
+            policy, params, rnn_states, normalized,
+            team_assigns(env_state), n_pol)
         dists = DiscreteActionDistributions((5, 5, 5, 2, 2), logits)
         if args.deterministic:
             actions = dists.best()

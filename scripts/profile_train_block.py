@@ -90,6 +90,7 @@ def main():
         compute_dtype=jnp.bfloat16,
         seed=5,
         metrics_buffer_size=args.block_size,
+        ppo_group_trainable=not args.no_pbt,
     )
     policy = make_policy(dtype=jnp.bfloat16, action_buckets=(5, 5, 5, 2, 2))
     mgr = init_training(jax.devices()[0], cfg, env, policy)

@@ -121,10 +121,12 @@ def main():
         dtype = jnp.float32
 
     if args.pbt_ensemble_size != 0:
-        assert args.num_hiders == args.num_seekers
+        # Asymmetric/variable team sizes are supported: matchmaking, PPO
+        # grouping and ELO attribution key off agent_type, not slot
+        # halves (train/rollout.py::_resample_assignments).
         pbt_cfg = PBTConfig(
             num_teams=2,
-            team_size=args.num_hiders,
+            team_size=max(args.num_hiders, args.num_seekers),
             num_train_policies=args.pbt_ensemble_size,
             num_past_policies=args.pbt_past_policies,
             self_play_portion=0.0,
@@ -164,6 +166,12 @@ def main():
         compute_dtype=dtype,
         seed=5,
         metrics_buffer_size=10,
+        # Grouped PPO is exact-capacity only for fixed symmetric teams
+        # under pure past-play (see TrainConfig.ppo_group_trainable).
+        ppo_group_trainable=(
+            args.pbt_ensemble_size != 0
+            and args.pbt_past_policies > 0
+            and args.num_hiders == args.num_seekers),
     )
 
     policy = make_policy(dtype=dtype, action_buckets=(5, 5, 5, 2, 2),
