@@ -429,9 +429,17 @@ def _contact_solve(man: Manifold, pos, quat, w_lin, inv_I,
                        axis=-1))
         lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
         mu_s = jnp.where(is_pair, MU_S_BODY, MU_S_STATIC)
-        static_ok = (mask & (lam > 0.0) & (w_t > 1e-9) &
-                     (lam_t <= mu_s * lam))
-        imp_t = -jnp.where(static_ok, lam_t, 0.0)[..., None] * t_dir
+        # Coulomb CLAMP (standard XPBD positional friction), not an
+        # all-or-nothing cone gate: the gated form left zero tangential
+        # resistance the moment lam_t crossed the cone, which put
+        # resting stacks on a knife edge — op-order-level numeric noise
+        # could tip a stacked cube from "bounded micro-walk" into a
+        # full slide-off within ~600 steps (observed across otherwise
+        # equivalent XLA CPU configurations). Clamped friction resists
+        # up to mu_s * lam in every case and degrades continuously.
+        static_ok = mask & (lam > 0.0) & (w_t > 1e-9)
+        lam_tc = jnp.minimum(lam_t, mu_s * lam)
+        imp_t = -jnp.where(static_ok, lam_tc, 0.0)[..., None] * t_dir
     else:
         imp_t = jnp.zeros_like(imp)
 

@@ -548,9 +548,10 @@ def make_physics_core(cfg: EnvConfig, n_wall: int, n_plane: int):
                    _dot(rxt_a, _sym_apply(Ma_i, rxt_a)))
             lam_t = dpt_len / jnp.maximum(w_t, 1e-9)
             mu_s_c = jnp.where(is_pair, jphys.MU_S_BODY, jphys.MU_S_STATIC)
-            static_ok = (mask & (lam > 0.0) & (w_t > 1e-9) &
-                         (lam_t <= mu_s_c * lam))
-            imp_t = _scale(t_dir, -jnp.where(static_ok, lam_t, 0.0))
+            # Coulomb clamp, not a cone gate (see env/physics.py).
+            static_ok = mask & (lam > 0.0) & (w_t > 1e-9)
+            lam_tc = jnp.minimum(lam_t, mu_s_c * lam)
+            imp_t = _scale(t_dir, -jnp.where(static_ok, lam_tc, 0.0))
             # Owning-body-only application (physics.py rationale).
             dpos_t = tuple(jnp.sum(c, axis=1) * inv_m for c in imp_t)
             ang_t = _sym_apply(Ma_i, _cross(r_a, imp_t))

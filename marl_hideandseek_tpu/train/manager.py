@@ -295,10 +295,16 @@ class TrainingManager:
             # here — any other structural mismatch re-raises.
             if "metrics" not in str(e):
                 raise
-            md = ckptr.metadata(os.path.abspath(path))
-            tree = getattr(md, "item_metadata", None) or getattr(
-                md, "tree", None) or md
-            disk_keys = set(tree["metrics"].keys())
+            # Orbax metadata layouts differ across versions; if the probe
+            # does not yield the expected dict shape, surface the
+            # ORIGINAL restore error rather than a probing artifact.
+            try:
+                md = ckptr.metadata(os.path.abspath(path))
+                tree = getattr(md, "item_metadata", None) or getattr(
+                    md, "tree", None) or md
+                disk_keys = set(tree["metrics"].keys())
+            except (KeyError, TypeError, AttributeError):
+                raise e from None
             legacy = {k: v for k, v in self.state.metrics.items()
                       if k in disk_keys}
             if disk_keys - set(self.state.metrics):

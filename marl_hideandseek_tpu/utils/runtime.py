@@ -16,16 +16,43 @@ from typing import Optional
 import jax
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    XLA's persistent cache stores CPU AOT executables compiled for the
+    EXACT machine features of the compiling host; loading them on a host
+    with a different feature set only logs a warning ("could lead to
+    execution errors") and can then compute silently WRONG numerics
+    (observed: a stale cache from a previous VM made a stacked-cube
+    fixture collapse). Namespacing the cache by CPU fingerprint makes
+    stale cross-machine entries unreachable."""
+    import hashlib
+    import platform
+
+    desc = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    desc += line
+                    break
+    except OSError:
+        desc += platform.processor()
+    return hashlib.sha256(desc.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str = "~/.cache/mhs_tpu_xla"):
     """Persistent XLA compilation cache — the analogue of the reference's
     megakernel cache (MADRONA_MWGPU_KERNEL_CACHE): first build is slow,
     subsequent runs hit the cache. All CLI entry points enable this by
     default (the level-generator program alone takes minutes to build on
-    the TPU backend); MHS_NO_COMPILE_CACHE=1 opts out."""
+    the TPU backend); MHS_NO_COMPILE_CACHE=1 opts out. The directory is
+    namespaced per host-CPU fingerprint (see _host_fingerprint)."""
     if os.environ.get("MHS_NO_COMPILE_CACHE"):
         return
-    path = os.path.expanduser(
-        os.environ.get("MHS_COMPILE_CACHE", cache_dir))
+    path = os.path.join(
+        os.path.expanduser(os.environ.get("MHS_COMPILE_CACHE", cache_dir)),
+        _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

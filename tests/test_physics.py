@@ -263,3 +263,66 @@ def test_crowded_cluster_no_interpenetration():
         for i, j in itertools.combinations(range(9), 2))
     assert worst > 1.95, worst  # cubes touch (2.0), never overlap deeply
     assert lowest_vertex_z(bodies)[np.asarray(bodies.active)].min() > -0.05
+
+
+def test_stack_stability_long_horizon():
+    """30-second stack soak (900 steps): two stacked cubes must STAY
+    STACKED — no slide-off, support heights held, near-rest at the end.
+
+    Before the Coulomb-clamped static friction this was a knife edge:
+    the cone-GATED form provided zero resistance the moment the required
+    correction crossed the cone, and op-order-level noise (e.g. the
+    8-virtual-device CPU config vs single-device) decided between a
+    0.03 micro-walk and a full slide-off at ~step 600. With the clamp
+    there remains a slow bounded creep (~2e-4/step, ~0.2 over 30 s, vs
+    ~2.0 for slide-off); the bound pins it. Reference fixture family:
+    src/level_gen.cpp:434-462 (level 7)."""
+    state = levelgen.empty_world(CFG)
+    qi = math3d.quat_identity()
+    state = levelgen._add_box_body(
+        state, CFG, 0, [0.0, 0.0, 1.0], qi, levelgen.CUBE_HALF)
+    state = levelgen._add_box_body(
+        state, CFG, 1, [0.05, 0.0, 3.0], qi, levelgen.CUBE_HALF)
+    bodies = run_steps(state, 900)
+    z0, z1 = float(bodies.pos[0, 2]), float(bodies.pos[1, 2])
+    assert abs(z0 - 1.0) < 0.05, z0
+    assert abs(z1 - 3.0) < 0.15, z1
+    drift = float(jnp.linalg.norm(
+        bodies.pos[1, :2] - state.bodies.pos[1, :2]))
+    assert drift < 0.4, drift
+    assert float(jnp.linalg.norm(bodies.vel[1])) < 0.1
+    assert lowest_vertex_z(bodies)[:2].min() > -EPS_PEN
+
+
+def test_energy_soak_crowded_long_horizon():
+    """Long-horizon energy/penetration soak at max contact density
+    (advisor round 3): the 3x3 cube grid + 2 dropped ramps runs 900
+    steps (3600 substeps). No slow oscillation, creep, or energy
+    injection: every body near-rest, inside the arena, above the floor,
+    and cube centers never deeply interpenetrating."""
+    import itertools
+
+    state = levelgen.empty_world(CFG)
+    qi = math3d.quat_identity()
+    k = 0
+    for gx in range(3):
+        for gy in range(3):
+            state = levelgen._add_box_body(
+                state, CFG, k, [2.05 * (gx - 1), 2.05 * (gy - 1), 1.0],
+                qi, levelgen.CUBE_HALF)
+            k += 1
+    state = levelgen._add_ramp_body(state, CFG, 0, [0.0, 0.0, 4.0], qi)
+    state = levelgen._add_ramp_body(state, CFG, 1, [1.0, 1.0, 7.0], qi)
+    bodies = run_steps(state, 900)
+    act = np.asarray(bodies.active)
+    vel = np.asarray(jnp.linalg.norm(bodies.vel, axis=-1))[act]
+    omega = np.asarray(jnp.linalg.norm(bodies.omega, axis=-1))[act]
+    assert vel.max() < 0.15, vel.max()     # at rest, no oscillation
+    assert omega.max() < 0.3, omega.max()
+    pos = np.asarray(bodies.pos)
+    assert np.abs(pos[act][:, :2]).max() < 18.0  # nothing ejected
+    assert lowest_vertex_z(bodies)[act].min() > -0.05
+    worst = min(
+        np.abs(pos[i] - pos[j]).max()
+        for i, j in itertools.combinations(range(9), 2))
+    assert worst > 1.9, worst
