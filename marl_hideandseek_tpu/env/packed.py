@@ -501,9 +501,13 @@ class PackedEnv:
     level regeneration on reset steps.
     """
 
-    def __init__(self, cfg: EnvConfig):
+    def __init__(self, cfg: EnvConfig, force_fallback: bool = False):
         self.cfg = cfg
         self.classic = HideAndSeekEnv(cfg)
+        # force_fallback pins the XLA glue + jnp physics path even on a
+        # TPU host (used by the on-TPU A/B verifier to compute the
+        # reference trajectory on the CPU backend in the same process).
+        self.force_fallback = force_fallback
 
     def init(self, key):
         state, _ = self.classic.init(key)
@@ -523,7 +527,8 @@ class PackedEnv:
             base_key = jax.random.PRNGKey(cfg.rand_seed)
         actions = actions.astype(jnp.int32)
 
-        if jax.devices()[0].platform == "tpu" and \
+        if not self.force_fallback and \
+                jax.devices()[0].platform == "tpu" and \
                 w % pallas_step.LANE == 0:
             # 1-3 fused: movement, grab/lock, physics, sweep, zero-vel,
             # rewards/dones and episode scores in ONE Pallas launch
@@ -588,7 +593,8 @@ class PackedEnv:
     def _physics_and_sweep(self, ps, ext_force, ext_torque):
         cfg = self.cfg
         w = ps.step.shape[0]
-        if jax.devices()[0].platform == "tpu" and \
+        if not self.force_fallback and \
+                jax.devices()[0].platform == "tpu" and \
                 w % pallas_step.LANE == 0:
             bodies, sweep = pallas_step.fused_step_packed(
                 cfg, ps, ext_force, ext_torque)
