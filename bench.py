@@ -37,8 +37,12 @@ NORTH_STAR = 10_000_000.0
 
 def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
               num_seekers: int = 2, reset_chance: float = 0.0,
-              chunk: int = 40, rand_seed: int = 5) -> float:
-    """Run the benchmark; returns steady-state env-steps/s."""
+              chunk: int = 40, rand_seed: int = 5,
+              render: bool = False) -> float:
+    """Run the benchmark; returns steady-state env-steps/s. With
+    `render`, every step also produces the 64x64 per-agent RGBD tensors
+    (viz/rgbd.py) riding the carry — the reference GPU benchmark runs
+    with its batch renderer enabled (scripts/benchmark.py:28-35)."""
     cfg = EnvConfig(
         num_worlds=num_worlds,
         min_hiders=num_hiders, max_hiders=num_hiders,
@@ -52,9 +56,16 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
     state, _ = jax.jit(env.init)(key)
     n_move = 5 if cfg.zero_agent_velocity else 11
 
-    state0, result0 = jax.jit(lambda s: env.step(
-        s, jnp.zeros((cfg.max_agents, 5, cfg.num_worlds), jnp.int32)))(
-            state)
+    def _step0(s):
+        s, r = env.step(
+            s, jnp.zeros((cfg.max_agents, 5, cfg.num_worlds), jnp.int32))
+        if render:
+            from marl_hideandseek_tpu.viz.rgbd import render_rgbd_packed
+            rgb, depth = render_rgbd_packed(cfg, s)
+            r = r._replace(obs={**r.obs, "rgb": rgb, "depth": depth})
+        return s, r
+
+    state0, result0 = jax.jit(_step0)(state)
 
     @jax.jit
     def run_chunk(carry, base):
@@ -74,7 +85,15 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
                 resets = (r < reset_chance).astype(jnp.int32)
             else:
                 resets = None
-            return env.step(state, actions, resets)
+            state, result = env.step(state, actions, resets)
+            if render:
+                from marl_hideandseek_tpu.viz.rgbd import (
+                    render_rgbd_packed)
+                rgb, depth = render_rgbd_packed(cfg, state)
+                result = result._replace(obs={**result.obs,
+                                              "rgb": rgb,
+                                              "depth": depth})
+            return state, result
 
         return jax.lax.fori_loop(0, chunk, body, carry)
 
@@ -104,9 +123,11 @@ def main():
     num_steps = int(os.environ.get("BENCH_STEPS", 1920))
     chunk = int(os.environ.get("BENCH_CHUNK", 40))
     reset_chance = float(os.environ.get("BENCH_RESET_CHANCE", 0.0))
+    render = bool(int(os.environ.get("BENCH_RENDER", "0")))
 
     steps_per_sec = bench_run(num_worlds, num_steps,
-                              reset_chance=reset_chance, chunk=chunk)
+                              reset_chance=reset_chance, chunk=chunk,
+                              render=render)
     # The tunneled TPU backend very occasionally returns from
     # block_until_ready without a real device roundtrip, reporting an
     # impossible throughput (observed: 2.6e9 steps/s on a chip whose
@@ -116,7 +137,8 @@ def main():
     while steps_per_sec > 100e6 and retries < 3:
         retries += 1
         steps_per_sec = bench_run(num_worlds, num_steps,
-                                  reset_chance=reset_chance, chunk=chunk)
+                                  reset_chance=reset_chance, chunk=chunk,
+                                  render=render)
     if steps_per_sec > 100e6:
         # Still impossible after retries: report an explicit failure
         # rather than a 1000x-inflated number.
@@ -131,6 +153,8 @@ def main():
         }))
         raise SystemExit(1)
     suffix = f"_reset{reset_chance}" if reset_chance else ""
+    if render:
+        suffix += "_rgbd64"
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}worlds_2v2{suffix}",
         "value": round(steps_per_sec, 1),

@@ -358,6 +358,14 @@ class HideAndSeekEnv:
         )(world_ids)
         return self._finish(state)
 
+    def rgbd(self, state: EnvState, img_h: int = 64, img_w: int = 64):
+        """Per-agent batch RGBD tensors (the reference's rgbTensor /
+        depthTensor, src/mgr.cpp:1329-1335): returns
+        (rgb [W, A, H, W, 4] u8, depth [W, A, H, W, 1] f32)."""
+        from marl_hideandseek_tpu.viz.rgbd import render_rgbd
+
+        return render_rgbd(self.cfg, state, img_h, img_w)
+
     # -- stepping ----------------------------------------------------------
 
     def step(self, state: EnvState, actions: jnp.ndarray,

@@ -1,0 +1,218 @@
+"""Batched per-agent RGBD rendering (the reference's batch renderer
+tensors, reference: src/mgr.cpp:873-903, shapes mgr.cpp:1329-1335
+rgb [W*A, H, W, 4] u8 / depth [W*A, H, W, 1] f32).
+
+TPU-native design: a perspective RAY CASTER over the same analytic
+primitive set the simulation itself uses (OBB boxes/agents, wedge ramps,
+axis-aligned walls, ground plane — env/rays.py), flat-shaded with a
+single directional light and team/lock coloring, fully vmapped over
+(worlds, agents) inside one jit. There is no triangle pipeline or
+Vulkan analogue on TPU; per-pixel raycasting against <= ~52 primitives
+per world is the idiomatic formulation of the same output tensors.
+
+Cost note: H*W rays/agent (4096 at 64x64) vs the sim's ~47 rays/agent —
+rendering dominates the step when enabled, exactly like the reference's
+batchRender pass on small GPUs. `bench.py` exposes it behind
+BENCH_RENDER=1 so a renderer-on number can be published alongside the
+headline sim throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from marl_hideandseek_tpu import math3d
+from marl_hideandseek_tpu.config import EnvConfig
+from marl_hideandseek_tpu.env import rays
+from marl_hideandseek_tpu.types import (
+    AGENT_HIDER,
+    EnvState,
+    body_slot_ranges,
+)
+
+# Palette (matches scripts/replay3d.py's team colors).
+_SKY = np.array([135, 206, 235], np.float32)
+_FLOOR = np.array([200, 200, 200], np.float32)
+_WALL = np.array([120, 120, 120], np.float32)
+_BOX = np.array([230, 126, 34], np.float32)
+_BOX_LOCKED = np.array([192, 57, 43], np.float32)
+_RAMP = np.array([155, 89, 182], np.float32)
+_RAMP_LOCKED = np.array([108, 52, 131], np.float32)
+_HIDER = np.array([39, 174, 96], np.float32)
+_SEEKER = np.array([41, 128, 185], np.float32)
+
+_LIGHT = np.array([0.408, 0.408, 0.816], np.float32)  # world light dir
+
+
+def _camera_rays(quat, img_h, img_w, fov_deg):
+    """Per-pixel world-space ray dirs for a yaw-only agent camera.
+
+    Returns [H*W, 3] unit dirs; camera looks along the agent's +y
+    (forward), up is world +z (agents only yaw)."""
+    fwd = math3d.quat_rotate(quat, jnp.array([0.0, 1.0, 0.0]))
+    right = math3d.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
+    up = jnp.array([0.0, 0.0, 1.0])
+    half = float(np.tan(np.deg2rad(fov_deg) * 0.5))
+    aspect = img_w / img_h
+    u = (jnp.arange(img_w) + 0.5) / img_w * 2.0 - 1.0     # [W]
+    v = 1.0 - (jnp.arange(img_h) + 0.5) / img_h * 2.0     # [H] top row +v
+    du = u[None, :, None] * (half * aspect) * right       # [1, W, 3]
+    dv = v[:, None, None] * half * up                     # [H, 1, 3]
+    d = fwd[None, None, :] + du + dv                      # [H, W, 3]
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d.reshape(-1, 3)
+
+
+def _hit_normals(cfg, bodies, statics, origins, dirs, t, hit_id):
+    """Flat-shade normals per ray from the hit primitive's geometry."""
+    n_body = cfg.num_dyn_bodies
+    _, (ramp_lo, ramp_hi), _ = body_slot_ranges(cfg)
+    n_wall = statics.wall_pos.shape[0]
+    p = origins + dirs * jnp.where(jnp.isfinite(t), t, 0.0)[:, None]
+
+    # Route the hit primitive's frame via one-hot (viz path: clarity
+    # over speed; B+W+P <= ~52 prims).
+    ids = jnp.arange(n_body + n_wall + statics.plane_point.shape[0])
+    oh = (hit_id[:, None] == ids[None, :]).astype(jnp.float32)
+    oh_b, oh_w, oh_p = jnp.split(oh, [n_body, n_body + n_wall], axis=1)
+
+    c_b = oh_b @ bodies.pos
+    q_b = oh_b @ bodies.quat
+    h_b = oh_b @ bodies.half_ext
+    is_ramp = (oh_b @ ((jnp.arange(n_body) >= ramp_lo) &
+                       (jnp.arange(n_body) < ramp_hi)).astype(
+                           jnp.float32)) > 0.5
+
+    # Box face normal: dominant axis of the local hit point / half ext.
+    p_l = math3d.quat_rotate_inv(q_b, p - c_b)
+    r = p_l / jnp.maximum(h_b, 1e-6)
+    ax = jnp.argmax(jnp.abs(r), axis=-1)
+    n_box_l = jnp.sign(r) * (jnp.arange(3)[None, :] == ax[:, None])
+    # Wedge face normal: the face whose halfspace the hit point is on.
+    d_f = (p_l @ rays.WEDGE_NORMALS.T) - rays.WEDGE_OFFSETS[None, :]
+    f = jnp.argmax(d_f, axis=-1)
+    n_wed_l = rays.WEDGE_NORMALS[f]
+    n_l = jnp.where(is_ramp[:, None], n_wed_l, n_box_l)
+    n_dyn = math3d.quat_rotate(q_b, n_l)
+
+    # Wall normal: dominant axis of hit point relative to the wall box.
+    c_w = oh_w @ statics.wall_pos
+    h_w = oh_w @ statics.wall_half_ext
+    rw = (p - c_w) / jnp.maximum(h_w, 1e-6)
+    axw = jnp.argmax(jnp.abs(rw), axis=-1)
+    n_wallv = jnp.sign(rw) * (jnp.arange(3)[None, :] == axw[:, None])
+
+    n_plane = oh_p @ statics.plane_normal
+
+    is_b = jnp.sum(oh_b, axis=1) > 0.5
+    is_w = jnp.sum(oh_w, axis=1) > 0.5
+    n = jnp.where(is_b[:, None], n_dyn,
+                  jnp.where(is_w[:, None], n_wallv, n_plane))
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                           1e-6)
+
+
+def _colors(cfg, state_slots, hit_id, n_wall, n_plane):
+    """Per-ray base color from the hit primitive id + world flags."""
+    n_body = cfg.num_dyn_bodies
+    (box_lo, box_hi), (ramp_lo, ramp_hi), (agent_lo, agent_hi) = \
+        body_slot_ranges(cfg)
+    locked, agent_type = state_slots
+    ids = jnp.arange(n_body)
+    oh_b = (hit_id[:, None] == ids[None, :]).astype(jnp.float32)
+    hit_locked = (oh_b @ locked.astype(jnp.float32)) > 0.5
+
+    slot = jnp.clip(hit_id, 0, n_body - 1)
+    is_box = (hit_id >= box_lo) & (hit_id < box_hi)
+    is_ramp = (hit_id >= ramp_lo) & (hit_id < ramp_hi)
+    is_agent = (hit_id >= agent_lo) & (hit_id < agent_hi)
+    a_idx = jnp.clip(hit_id - agent_lo, 0, agent_type.shape[0] - 1)
+    oh_a = (a_idx[:, None] ==
+            jnp.arange(agent_type.shape[0])[None, :]).astype(jnp.float32)
+    hit_hider = (oh_a @ (agent_type == AGENT_HIDER).astype(
+        jnp.float32)) > 0.5
+    is_wall = (hit_id >= n_body) & (hit_id < n_body + n_wall)
+    is_plane = hit_id >= n_body + n_wall
+
+    c = jnp.where(is_plane[:, None], _FLOOR[None],
+        jnp.where(is_wall[:, None], _WALL[None],
+        jnp.where(is_agent[:, None],
+                  jnp.where(hit_hider[:, None], _HIDER[None],
+                            _SEEKER[None]),
+        jnp.where(is_ramp[:, None],
+                  jnp.where(hit_locked[:, None], _RAMP_LOCKED[None],
+                            _RAMP[None]),
+        jnp.where(is_box[:, None],
+                  jnp.where(hit_locked[:, None], _BOX_LOCKED[None],
+                            _BOX[None]),
+                  _SKY[None])))))
+    del slot
+    return c
+
+
+def _render_one(cfg, img_h, img_w, fov_deg, max_depth,
+                bodies, statics, locked, agent_type, agent_pos,
+                agent_quat, agent_slot):
+    """One agent's RGBD in one world: [H, W, 4] u8, [H, W, 1] f32."""
+    eye = agent_pos + jnp.array([0.0, 0.0, 0.5])
+    dirs = _camera_rays(agent_quat, img_h, img_w, fov_deg)   # [R, 3]
+    origins = jnp.broadcast_to(eye[None, :], dirs.shape)
+    exclude = jnp.full((dirs.shape[0],), agent_slot, jnp.int32)
+    t, hit_id = rays.raycast_world(cfg, bodies, statics, origins, dirs,
+                                   max_depth, exclude_id=exclude)
+
+    n = _hit_normals(cfg, bodies, statics, origins, dirs, t, hit_id)
+    base = _colors(cfg, (locked, agent_type), hit_id,
+                   statics.wall_pos.shape[0],
+                   statics.plane_point.shape[0])
+    lam = jnp.abs(n @ jnp.asarray(_LIGHT))
+    shade = 0.45 + 0.55 * lam
+    miss = ~jnp.isfinite(t)
+    rgb = jnp.where(miss[:, None], _SKY[None], base * shade[:, None])
+    rgb = jnp.clip(rgb, 0.0, 255.0).astype(jnp.uint8)
+    alpha = jnp.full((rgb.shape[0], 1), 255, jnp.uint8)
+    rgba = jnp.concatenate([rgb, alpha], axis=-1)
+    depth = jnp.where(miss, 0.0, t).astype(jnp.float32)
+    return (rgba.reshape(img_h, img_w, 4),
+            depth.reshape(img_h, img_w, 1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def render_rgbd(cfg: EnvConfig, state: EnvState, img_h: int = 64,
+                img_w: int = 64, fov_deg: float = 90.0,
+                max_depth: float = 200.0):
+    """Batch RGBD render of every agent's view.
+
+    state: classic (worlds-leading) EnvState. Returns
+    (rgb [W, A, H, W, 4] u8, depth [W, A, H, W, 1] f32); inactive agents
+    render like active ones (their slots still hold valid poses),
+    matching the reference's always-exported view tensors.
+    """
+    _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
+    n_a = cfg.max_agents
+
+    def world(bodies, statics, agent_type):
+        def agent(a):
+            return _render_one(
+                cfg, img_h, img_w, fov_deg, max_depth, bodies, statics,
+                bodies.locked, agent_type,
+                bodies.pos[agent_lo + a], bodies.quat[agent_lo + a],
+                jnp.int32(agent_lo) + a)
+
+        return jax.vmap(agent)(jnp.arange(n_a))
+
+    return jax.vmap(world)(state.bodies, state.statics, state.agent_type)
+
+
+def render_rgbd_packed(cfg: EnvConfig, ps: EnvState, img_h: int = 64,
+                       img_w: int = 64, fov_deg: float = 90.0,
+                       max_depth: float = 200.0):
+    """RGBD from packed (worlds-minor) state."""
+    from marl_hideandseek_tpu.env.packed import unpack_state
+
+    return render_rgbd(cfg, unpack_state(ps), img_h, img_w, fov_deg,
+                       max_depth)
