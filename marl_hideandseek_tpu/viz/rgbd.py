@@ -181,21 +181,28 @@ def _render_one(cfg, img_h, img_w, fov_deg, max_depth,
             depth.reshape(img_h, img_w, 1))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 6))
 def render_rgbd(cfg: EnvConfig, state: EnvState, img_h: int = 64,
                 img_w: int = 64, fov_deg: float = 90.0,
-                max_depth: float = 200.0):
+                max_depth: float = 200.0, world_chunk: int = 64):
     """Batch RGBD render of every agent's view.
 
     state: classic (worlds-leading) EnvState. Returns
     (rgb [W, A, H, W, 4] u8, depth [W, A, H, W, 1] f32); inactive agents
     render like active ones (their slots still hold valid poses),
     matching the reference's always-exported view tensors.
+
+    Worlds are processed in sequential chunks of `world_chunk` (lax.map)
+    to bound the [chunk, A, H*W, n_prims] ray-test intermediates — fully
+    vmapped 1024 worlds at 64x64 wants ~24 GB of HBM.
     """
     _, _, (agent_lo, agent_hi) = body_slot_ranges(cfg)
     n_a = cfg.max_agents
+    n_w = state.step.shape[0]
 
-    def world(bodies, statics, agent_type):
+    def world(args):
+        bodies, statics, agent_type = args
+
         def agent(a):
             return _render_one(
                 cfg, img_h, img_w, fov_deg, max_depth, bodies, statics,
@@ -205,7 +212,16 @@ def render_rgbd(cfg: EnvConfig, state: EnvState, img_h: int = 64,
 
         return jax.vmap(agent)(jnp.arange(n_a))
 
-    return jax.vmap(world)(state.bodies, state.statics, state.agent_type)
+    per_world = (state.bodies, state.statics, state.agent_type)
+    if n_w <= world_chunk or n_w % world_chunk != 0:
+        return jax.vmap(lambda b, s, t: world((b, s, t)))(*per_world)
+
+    chunked = jax.tree.map(
+        lambda x: x.reshape((n_w // world_chunk, world_chunk) +
+                            x.shape[1:]), per_world)
+    rgb, depth = jax.lax.map(jax.vmap(world), chunked)
+    return (rgb.reshape((n_w,) + rgb.shape[2:]),
+            depth.reshape((n_w,) + depth.shape[2:]))
 
 
 def render_rgbd_packed(cfg: EnvConfig, ps: EnvState, img_h: int = 64,
