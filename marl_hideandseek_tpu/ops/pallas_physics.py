@@ -33,7 +33,8 @@ from marl_hideandseek_tpu.types import body_slot_ranges
 
 LANE = 128
 
-# Temporary bisection probes (profiling only; all False in production).
+# Kernel bisection probes (profiling only; all False in production;
+# used by scripts/profile_kernel_split.py-style phase accounting).
 _PROBE_IO_ONLY = False        # copy inputs->outputs, no compute
 _PROBE_MANIFOLD_ONLY = False  # manifold build kept alive, no substeps
 _PROBE_PRESELECT_ONLY = False  # candidate preselect only, no vertex sweep
