@@ -23,6 +23,7 @@ from marl_hideandseek_tpu.train.manager import (
     aot_compile,
     cfg_jax_mem,
     init_training,
+    ring_scalar,
     stop_training,
 )
 from marl_hideandseek_tpu.train.elo import eval_elo, print_elos
@@ -35,7 +36,8 @@ from marl_hideandseek_tpu.train.metrics import (
 __all__ = [
     "ActionsConfig", "TrainConfig", "PPOConfig", "PBTConfig", "ParamExplore",
     "EvalConfig", "TrainHooks", "TrainingManager", "init_training",
-    "aot_compile", "stop_training", "cfg_jax_mem", "eval_elo", "print_elos",
+    "aot_compile", "stop_training", "cfg_jax_mem", "ring_scalar",
+    "eval_elo", "print_elos",
     "eval_policies", "eval_load_ckpt",
     "TensorboardWriter", "WandbWriter",
 ]

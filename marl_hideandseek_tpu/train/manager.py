@@ -26,6 +26,22 @@ from marl_hideandseek_tpu.models import Policy
 from marl_hideandseek_tpu.train import elo as elo_mod
 from marl_hideandseek_tpu.train import pbt as pbt_mod
 from marl_hideandseek_tpu.train.cfg import TrainConfig
+
+
+def ring_scalar(buf) -> float:
+    """Scalar to log for one ring-buffered metric: the mean over all
+    ring slots, NOT the last slot.
+
+    The last slot is a single update's 40-step rollout window; with all
+    worlds episode-synchronized (240-step episodes = 6 updates), a
+    10-update log cadence aliases against the 6-update episode cycle
+    with period 3 and every third sample lands entirely in the prep
+    phase — reward/hidden_frac log as exact 0.0. The ring exists to
+    average over a full episode cycle (metrics_buffer_size=10 > 6,
+    reference jax_train.py:168); use it.
+    """
+    import numpy as np
+    return float(np.asarray(buf).mean())
 from marl_hideandseek_tpu.train.ppo import (
     init_value_stats,
     make_optimizer,
@@ -199,6 +215,8 @@ class TrainingManager:
             "action_loss": jnp.mean(ppo_metrics["action_loss"]),
             "value_loss": jnp.mean(ppo_metrics["value_loss"]),
             "entropy": jnp.mean(ppo_metrics["entropy"]),
+            "dropped_agent_frac": jnp.mean(
+                ppo_metrics["dropped_agent_frac"]),
             "mean_reward": roll_metrics["mean_reward"],
             "hidden_frac": roll_metrics["hidden_frac"],
             "lock_rate": roll_metrics["lock_rate"],
@@ -407,6 +425,7 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
     metrics = {
         k: jnp.zeros((cfg.metrics_buffer_size,))
         for k in ("loss", "action_loss", "value_loss", "entropy",
+                  "dropped_agent_frac",
                   "mean_reward", "hidden_frac", "lock_rate", "grab_rate")
     }
 

@@ -148,6 +148,69 @@ def _merge_rnn(x, c, m):
     return x.reshape(x.shape[:-3] + (c * m,) + x.shape[-1:])
 
 
+def use_grouped_ppo(cfg: TrainConfig) -> bool:
+    """True when the grouped (gather-trainable-slots) PPO path applies.
+
+    Grouping is only valid under pure past-play PBT: every world is one
+    train policy vs one frozen past policy, so exactly half the agent
+    slots carry trainable data. Any self-play or cross-play portion (two
+    TRAIN policies can share a world) routes to the masked full-batch
+    path, which keeps every agent-step.
+    """
+    pbt = cfg.pbt
+    return bool(cfg.ppo_group_trainable and pbt is not None
+                and pbt.num_past_policies > 0
+                and pbt.self_play_portion == 0.0
+                and pbt.cross_play_portion == 0.0)
+
+
+def group_gather_indices(n_train: int, n: int, start_assign):
+    """[P, cap] slot indices gathering each train policy's agents.
+
+    Per-policy capacity: n/2 trainable slots split ~evenly between the
+    train policies by matchmaking; cap at 1.25x the even share (> 8
+    sigma of the binomial world draw at 1024+ worlds, and never above
+    the n/2 total), rounded up to a lane multiple. In the
+    astronomically rare overflow, the excess agents of that policy are
+    dropped from this update's loss (stable slot order keeps the drop
+    deterministic). Returns (g_idx [P, cap], cap).
+    """
+    n_group = n // 2
+    if n_train > 1:
+        share = n_group // n_train
+        cap = min(n_group, ((share + share // 4) + 127) // 128 * 128)
+    else:
+        cap = n_group
+
+    def idx_for(p):
+        order = jnp.argsort(
+            (start_assign != p).astype(jnp.int32), stable=True)
+        return order[:cap]
+
+    return jnp.stack([idx_for(p) for p in range(n_train)]), cap
+
+
+def grouped_dropped_frac(assignments, g_idx, n_train: int):
+    """Visibility metric for the two silent truncations of grouping.
+
+    (a) overflow — slots assigned to p at rollout start beyond the cap;
+    (b) mid-rollout switches — agent-steps whose per-timestep assignment
+    is p but whose slot was gathered into another policy's group (or
+    none). Both are dropped from the loss; dropped_agent_frac[p] is
+    their fraction of p's trainable agent-steps. assignments: [C, T, N].
+    """
+    n = assignments.shape[-1]
+    member = jax.vmap(
+        lambda idx: jnp.zeros((n,), bool).at[idx].set(True))(g_idx)
+    p_arr = jnp.arange(n_train)
+    assign_is_p = (assignments[None] ==
+                   p_arr[:, None, None, None])              # [P,C,T,N]
+    covered = member[:, None, None, :]
+    dropped = jnp.sum(assign_is_p & ~covered, axis=(1, 2, 3))
+    total_p = jnp.sum(assign_is_p, axis=(1, 2, 3))
+    return dropped / jnp.maximum(total_p, 1)
+
+
 def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
                all_opt_states, obs_stats, value_stats, hyper_params,
                buffer: RolloutBuffer, key):
@@ -186,33 +249,12 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
     # resample moved the slot between train/past sides), which is a few
     # percent of agent-steps — the same fragments the reference's
     # per-update policy_assignments routing attributes statically.
-    pbt = cfg.pbt
-    grouped = (cfg.ppo_group_trainable and pbt is not None
-               and pbt.num_past_policies > 0
-               and pbt.self_play_portion == 0.0
-               and pbt.cross_play_portion == 0.0)
+    grouped = use_grouped_ppo(cfg)
     if grouped:
-        # Per-policy capacity: n/2 trainable slots split ~evenly between
-        # the train policies by matchmaking; cap at 1.25x the even share
-        # (> 8 sigma of the binomial world draw at 1024+ worlds, and
-        # never above the n/2 total). In the astronomically rare
-        # overflow, the excess agents of that policy are dropped from
-        # this update's loss (stable slot order keeps the drop
-        # deterministic).
-        n_group = n // 2
-        if n_train > 1:
-            share = n_group // n_train
-            cap = min(n_group, ((share + share // 4) + 127) // 128 * 128)
-        else:
-            cap = n_group
-        start_assign = buffer.assignments[0, 0]              # [N]
-
-        def idx_for(p):
-            order = jnp.argsort(
-                (start_assign != p).astype(jnp.int32), stable=True)
-            return order[:cap]
-
-        g_idx = jnp.stack([idx_for(p) for p in range(n_train)])  # [P,cap]
+        g_idx, cap = group_gather_indices(
+            n_train, n, buffer.assignments[0, 0])
+        dropped_agent_frac = grouped_dropped_frac(
+            buffer.assignments, g_idx, n_train)
 
         def take_n(idx, x):
             return jnp.take(x, idx, axis=2)
@@ -230,6 +272,8 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
                             g_idx, x), v))
                 for k, v in data.items()}
         n = cap
+    else:
+        dropped_agent_frac = jnp.zeros((n_train,))
 
     num_mb = cfg.algo.num_mini_batches
     assert n % num_mb == 0, "agents must divide into minibatches"
@@ -303,5 +347,6 @@ def ppo_update(cfg: TrainConfig, policy: Policy, tx, all_params,
         "action_loss": jnp.mean(a_l, axis=(0, 1)),
         "value_loss": jnp.mean(v_l, axis=(0, 1)),
         "entropy": jnp.mean(ent, axis=(0, 1)),
+        "dropped_agent_frac": dropped_agent_frac,
     }
     return all_params, all_opt_states, value_stats, metrics

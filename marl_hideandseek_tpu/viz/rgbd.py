@@ -213,15 +213,31 @@ def render_rgbd(cfg: EnvConfig, state: EnvState, img_h: int = 64,
         return jax.vmap(agent)(jnp.arange(n_a))
 
     per_world = (state.bodies, state.statics, state.agent_type)
-    if n_w <= world_chunk or n_w % world_chunk != 0:
+    if n_w <= world_chunk:
         return jax.vmap(lambda b, s, t: world((b, s, t)))(*per_world)
 
-    chunked = jax.tree.map(
-        lambda x: x.reshape((n_w // world_chunk, world_chunk) +
-                            x.shape[1:]), per_world)
-    rgb, depth = jax.lax.map(jax.vmap(world), chunked)
-    return (rgb.reshape((n_w,) + rgb.shape[2:]),
-            depth.reshape((n_w,) + depth.shape[2:]))
+    # Chunk over worlds to bound HBM (the fully-vmapped path holds every
+    # world's ray set live at once — ~24 GB at 1024 worlds / 64x64).
+    # World counts that don't divide the chunk get a remainder chunk so
+    # large-but-odd counts never fall back to the unchunked path.
+    n_full = n_w // world_chunk
+    n_main = n_full * world_chunk
+
+    def run_chunked(tree, n_chunks, chunk):
+        chunked = jax.tree.map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), tree)
+        rgb, depth = jax.lax.map(jax.vmap(world), chunked)
+        return (rgb.reshape((n_chunks * chunk,) + rgb.shape[2:]),
+                depth.reshape((n_chunks * chunk,) + depth.shape[2:]))
+
+    rgb, depth = run_chunked(
+        jax.tree.map(lambda x: x[:n_main], per_world), n_full, world_chunk)
+    if n_main < n_w:
+        rest = jax.tree.map(lambda x: x[n_main:], per_world)
+        rgb_r, depth_r = run_chunked(rest, 1, n_w - n_main)
+        rgb = jnp.concatenate([rgb, rgb_r], axis=0)
+        depth = jnp.concatenate([depth, depth_r], axis=0)
+    return rgb, depth
 
 
 def render_rgbd_packed(cfg: EnvConfig, ps: EnvState, img_h: int = 64,

@@ -90,7 +90,8 @@ def main():
 
     def team_assigns(env_state):
         from marl_hideandseek_tpu.types import AGENT_HIDER
-        is_h = env_state.agent_type == AGENT_HIDER           # [W, A]
+        # env_state is packed (worlds-minor): agent_type is [A, W].
+        is_h = (env_state.agent_type == AGENT_HIDER).T       # [W, A]
         return jnp.where(
             is_h, t0[:, None], t1[:, None]).reshape(-1).astype(jnp.int32)
 

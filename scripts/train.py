@@ -30,7 +30,7 @@ from marl_hideandseek_tpu import train as mhs_train
 from marl_hideandseek_tpu.train import (
     ActionsConfig, PBTConfig, PPOConfig, ParamExplore, TrainConfig,
     TensorboardWriter, WandbWriter, init_training, aot_compile,
-    stop_training, print_elos,
+    ring_scalar, stop_training, print_elos,
 )
 
 mhs_train.cfg_jax_mem(0.8)
@@ -227,7 +227,9 @@ def main():
                 tb_writer.scalar(f"p{i}/entropy_coef",
                                  float(entropy_coefs[i]), update_id)
         for k, v in metrics.items():
-            tb_writer.scalar(f"train/{k}", float(v[-1]), update_id)
+            # Ring mean, not v[-1]: the last slot aliases against the
+            # episode cycle (see train.manager.ring_scalar).
+            tb_writer.scalar(f"train/{k}", ring_scalar(v), update_id)
         return ()
 
     assert args.eval_frequency % 10 == 0

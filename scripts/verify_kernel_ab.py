@@ -120,10 +120,10 @@ def replay_and_compare(name, path):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         frac = (np.abs(a - b) < tol).mean()
         good = frac >= min_frac
-        if not good or True:
-            print(f"  {tag:22s} agree {frac * 100:6.2f}%  "
-                  f"max|d| {np.abs(a - b).max():.2e}  "
-                  f"{'OK' if good else 'FAIL'}", flush=True)
+        # Print every tag (pass or fail) so the log is a full ledger.
+        print(f"  {tag:22s} agree {frac * 100:6.2f}%  "
+              f"max|d| {np.abs(a - b).max():.2e}  "
+              f"{'OK' if good else 'FAIL'}", flush=True)
         ok = ok and good
 
     for i in range(steps):

@@ -207,3 +207,46 @@ def test_seekers_frozen_in_prep(env, init_state):
     seekers = types == AGENT_SEEKER
     assert (moved[seekers] < 1e-4).all()
     assert (moved[~seekers] > 1e-3).any()
+
+
+def test_3v3_full_capacity_soak():
+    """Long-horizon soak at the reference training recipe's config
+    (jax_train.sh:33-34 — 3 hiders + 3 seekers, all 6 agent slots
+    active) with random actions including grab/lock, for 2+ full
+    episodes of substeps. Pins the regime long training runs operate
+    in: no NaN, nothing ejected, velocities bounded, and the grab tool
+    actually engaged at least once during the soak."""
+    cfg = EnvConfig(
+        num_worlds=2,
+        min_hiders=3, max_hiders=3, min_seekers=3, max_seekers=3,
+        sim_flags=SimFlags.ZeroAgentVelocity,
+    )
+    env3 = HideAndSeekEnv(cfg)
+    state, _ = jax.jit(env3.init)(jax.random.PRNGKey(11))
+    n_steps = 2 * cfg.episode_len + 10   # 2 full episodes + reset
+
+    def body(carry, key):
+        st, grabbed = carry
+        st, result = env3.step(st, random_actions(key, 2, 6))
+        grabbed = grabbed | (st.grab.target >= 0).any()
+        return (st, grabbed), (result.rewards, st.bodies.pos,
+                               st.bodies.vel)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), n_steps)
+    (state, grabbed), (rews, poss, vels) = jax.jit(
+        lambda c, k: jax.lax.scan(body, c, k))((state, False), keys)
+
+    assert np.asarray(state.num_hiders).tolist() == [3, 3]
+    assert np.asarray(state.num_seekers).tolist() == [3, 3]
+    assert np.asarray(state.agent_active).all()
+    assert np.isfinite(np.asarray(rews)).all()
+    assert np.isfinite(np.asarray(poss)).all()
+    assert bool(grabbed), "grab tool never engaged during the soak"
+    # Nothing ejected from the arena over 2 episodes, at any step.
+    act = np.asarray(state.bodies.active)
+    pos = np.asarray(poss)                      # [S, W, B, 3]
+    assert np.abs(pos[..., :2][:, act]).max() < 30.0
+    assert pos[..., 2][:, act].min() > -0.5
+    # Velocities bounded (no energy injection from 6-agent contact).
+    vel = np.asarray(vels)
+    assert np.abs(vel[:, act]).max() < 50.0

@@ -95,3 +95,19 @@ def test_packed_entrypoint():
     np.testing.assert_array_equal(np.asarray(rgb_c), np.asarray(rgb_p))
     np.testing.assert_array_equal(np.asarray(depth_c),
                                   np.asarray(depth_p))
+
+
+def test_world_chunk_remainder_matches_unchunked():
+    """World counts that don't divide world_chunk must run the chunked
+    path (full chunks + remainder) and agree exactly with the
+    fully-vmapped render."""
+    one = _state_agent_facing_cube()
+    state = jax.tree.map(
+        lambda x: jnp.stack([x] * 5), one)         # 5 worlds
+    rgb_ref, depth_ref = rgbd.render_rgbd(CFG, state, 16, 16,
+                                          world_chunk=8)   # unchunked
+    rgb_c, depth_c = rgbd.render_rgbd(CFG, state, 16, 16,
+                                      world_chunk=2)       # 2+2+1
+    np.testing.assert_array_equal(np.asarray(rgb_c), np.asarray(rgb_ref))
+    np.testing.assert_allclose(np.asarray(depth_c), np.asarray(depth_ref),
+                               rtol=1e-6)

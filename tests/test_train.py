@@ -239,3 +239,109 @@ def test_restore_ckpt_legacy_metrics(tmp_path):
     assert "grab_rate" in mgr2.state.metrics
     np.testing.assert_allclose(
         np.asarray(mgr2.state.metrics["lock_rate"]), 0.0)
+
+
+def test_ring_scalar_logs_mean_not_last_slot():
+    """Logged scalar must be the ring mean: with 240-step episodes (6
+    updates) and a 10-update log cadence, the LAST slot aliases to the
+    prep phase every 3rd sample and logs exact 0.0 (r4 metrics defect)."""
+    from marl_hideandseek_tpu.train import ring_scalar
+
+    # Ring of 10 updates where the final slot landed in prep (0.0).
+    ring = np.array([0.5, 0.4, 0.0, 0.6, 0.5, 0.0, 0.4, 0.5, 0.0, 0.0])
+    v = ring_scalar(jnp.asarray(ring))
+    assert v == pytest.approx(ring.mean())
+    assert v != 0.0  # the v[-1] bug would log 0.0 here
+
+
+def test_grouped_ppo_routing():
+    """Asymmetric/self-play/cross-play configs must route to the masked
+    full-batch path (which keeps every agent-step); grouping only under
+    pure past-play PBT."""
+    from marl_hideandseek_tpu.train.ppo import use_grouped_ppo
+    import dataclasses
+
+    def cfg_with(**pbt_kw):
+        kw = dict(
+            num_teams=2, team_size=1, num_train_policies=2,
+            num_past_policies=2, past_play_portion=1.0,
+            explore_interval=1, past_policy_update_interval=1)
+        kw.update(pbt_kw)
+        pbt = PBTConfig(**kw)
+        c = make_train_cfg(pbt=pbt)
+        return dataclasses.replace(c, ppo_group_trainable=True)
+
+    assert use_grouped_ppo(cfg_with())
+    assert not use_grouped_ppo(cfg_with(
+        self_play_portion=0.5, past_play_portion=0.5))
+    assert not use_grouped_ppo(cfg_with(
+        cross_play_portion=0.5, past_play_portion=0.5))
+    # No frozen past policies -> nothing to group away.
+    no_past = dataclasses.replace(
+        cfg_with(), pbt=dataclasses.replace(
+            cfg_with().pbt, num_past_policies=0))
+    assert not use_grouped_ppo(no_past)
+    # Flag off -> masked path.
+    flag_off = dataclasses.replace(cfg_with(), ppo_group_trainable=False)
+    assert not use_grouped_ppo(flag_off)
+    # Default config never groups.
+    assert not use_grouped_ppo(make_train_cfg())
+
+
+def test_grouped_dropped_frac_mid_rollout_switch():
+    """dropped_agent_frac must report exactly the agent-steps lost when a
+    slot switches between train/past sides mid-rollout, and the overflow
+    beyond the per-policy cap."""
+    from marl_hideandseek_tpu.train.ppo import (
+        group_gather_indices, grouped_dropped_frac)
+
+    n_train, n, T = 2, 16, 40
+    # Slots 0-3 -> p0, 4-7 -> p1, 8-15 -> past policies (2, 3).
+    start = np.array([0] * 4 + [1] * 4 + [2] * 4 + [3] * 4, np.int32)
+    g_idx, cap = group_gather_indices(n_train, n, jnp.asarray(start))
+    assert cap == n // 2
+    # Group p0 holds its own slots; groups never reach slots 8-15.
+    g = np.asarray(g_idx)
+    assert set(range(4)) <= set(g[0].tolist())
+    assert not (set(g[0].tolist()) | set(g[1].tolist())) & set(range(8, 16))
+
+    # Forced mid-rollout switch: slot 12 flips past(2) -> train(0) at
+    # T/2. Its post-switch fragment has trainable assignment 0 but the
+    # slot was never gathered into group 0 -> dropped.
+    assigns = np.broadcast_to(start, (1, T, n)).copy()
+    assigns[0, T // 2:, 12] = 0
+    frac = np.asarray(grouped_dropped_frac(
+        jnp.asarray(assigns), g_idx, n_train))
+    # p0 trainable steps: 4 full slots * T + T/2 switched-in; dropped T/2.
+    assert frac[0] == pytest.approx((T // 2) / (4 * T + T // 2))
+    assert frac[1] == 0.0
+
+    # Documented bound: under a realistic episode-end resample (~5% of
+    # slots switch once), the dropped fraction stays "a few percent".
+    rng = np.random.RandomState(0)
+    n_big = 256
+    start_b = rng.permutation(
+        np.repeat(np.arange(4, dtype=np.int32), n_big // 4))
+    g_b, _ = group_gather_indices(n_train, n_big, jnp.asarray(start_b))
+    assigns_b = np.broadcast_to(start_b, (1, T, n_big)).copy()
+    switch = rng.choice(n_big, size=n_big // 20, replace=False)
+    for s in switch:
+        t0 = rng.randint(1, T)
+        assigns_b[0, t0:, s] = rng.randint(0, 2)
+    frac_b = np.asarray(grouped_dropped_frac(
+        jnp.asarray(assigns_b), g_b, n_train))
+    assert frac_b.max() <= 0.05
+
+
+def test_grouped_dropped_frac_overflow_beyond_cap():
+    from marl_hideandseek_tpu.train.ppo import (
+        group_gather_indices, grouped_dropped_frac)
+
+    n_train, n, T = 2, 16, 10
+    # 9 slots claim p0 at rollout start: one exceeds the cap (n/2 = 8).
+    start = np.array([0] * 9 + [1] * 3 + [2] * 4, np.int32)
+    g_idx, cap = group_gather_indices(n_train, n, jnp.asarray(start))
+    assigns = jnp.broadcast_to(jnp.asarray(start), (1, T, n))
+    frac = np.asarray(grouped_dropped_frac(assigns, g_idx, n_train))
+    assert frac[0] == pytest.approx(1.0 / 9.0)  # 1 of 9 slots dropped
+    assert frac[1] == 0.0
