@@ -52,8 +52,11 @@ from marl_hideandseek_tpu.env.env import (
     _INSTANT_BUCKETS,
     _INSTANT_F_MAX,
     _INSTANT_T_MAX,
+    _regen_world,
 )
+from marl_hideandseek_tpu.env import observations
 from marl_hideandseek_tpu.env.observations import _others_index_matrix
+from marl_hideandseek_tpu.ops import pallas_rays
 from marl_hideandseek_tpu.ops import pallas_step
 from marl_hideandseek_tpu.ops.pallas_physics import (
     _qmul,
@@ -473,6 +476,32 @@ def build_observations_packed(cfg: EnvConfig, ps: EnvState,
     }
 
 
+def standalone_sweep_packed(cfg: EnvConfig, ps: EnvState) -> SweepResults:
+    """The per-step ray sweep on PACKED state (worlds-minor), used by the
+    packed reset branch. Twin of HideAndSeekEnv._standalone_sweep, but
+    with every vmap over the TRAILING axis so no state leaf is ever
+    transposed: a world-major branch inside PackedEnv.step forces XLA to
+    keep two layouts of the whole state and convert between them with
+    ~108 MB of copies on EVERY step (taken or not; measured ~1.5 ms at
+    16K worlds)."""
+    obs_q = jax.vmap(
+        functools.partial(observations.obs_ray_queries, cfg),
+        in_axes=-1, out_axes=-1)(ps)
+    obs_t, obs_id = pallas_rays.raycast_batch_packed(cfg, ps, *obs_q)
+    vis_seen, lidar = jax.vmap(
+        functools.partial(observations.consume_obs_sweep, cfg),
+        in_axes=-1, out_axes=-1)(ps, obs_id, obs_t)
+    act_q = jax.vmap(
+        functools.partial(observations.action_ray_queries, cfg),
+        in_axes=-1, out_axes=-1)(ps)
+    act_t, act_id = pallas_rays.raycast_batch_packed(cfg, ps, *act_q)
+    rew_seen = jax.vmap(
+        functools.partial(observations.reward_flag_from_vis, cfg),
+        in_axes=-1, out_axes=-1)(ps, vis_seen)
+    return SweepResults(vis_seen=vis_seen, lidar=lidar, act_t=act_t,
+                        act_id=act_id, rew_seen=rew_seen)
+
+
 def reference_obs(cfg: EnvConfig, obs: dict) -> dict:
     """Reshape the flat-feature dict back to the reference's exported
     tensor shapes (src/mgr.cpp:1097-1204)."""
@@ -555,34 +584,118 @@ class PackedEnv:
             rewards, dones = _rewards_dones_packed(cfg, ps, team_r)
             ps = _episode_results_packed(cfg, ps, team_r)
 
-        # 4. Conditional resets: unpack, reuse the classic regeneration
-        #    paths (full or compact), repack. Amortized over episodes.
+        # 4. Conditional resets, packed-native: the regeneration paths
+        #    (full or compact, mirroring HideAndSeekEnv._apply_resets)
+        #    run with every vmap over the TRAILING axis, so no state leaf
+        #    is ever transposed. A world-major (unpack/repack) branch
+        #    here forced XLA to keep two layouts of the whole state and
+        #    convert between them with ~108 MB of copies on EVERY step,
+        #    taken or not (~1.5 ms at 16K worlds).
         auto = jnp.zeros((w,), bool)
         if not cfg.ignore_episode_length:
             auto = ps.step == cfg.episode_len - 1
         trigger = (resets != 0) | auto
+        level_ids = jnp.where(resets != 0, resets, 1).astype(jnp.int32)
 
-        def no_resets(ps):
-            return ps.replace(step=ps.step + 1), sweep
+        def advance(p):
+            return p.replace(step=p.step + 1)
 
-        def do_resets(ps):
-            state = unpack_state(ps)
-            wm_sweep = SweepResults(
-                vis_seen=jnp.moveaxis(sweep.vis_seen, -1, 0),
-                lidar=jnp.moveaxis(sweep.lidar, -1, 0),
-                act_t=jnp.moveaxis(sweep.act_t, -1, 0),
-                act_id=jnp.moveaxis(sweep.act_id, -1, 0),
-                rew_seen=sweep.rew_seen,
-            )
-            state, wm_sweep = self.classic._apply_resets(
-                state, wm_sweep, trigger, resets, base_key)
-            return pack_state(state), SweepResults(
-                vis_seen=jnp.moveaxis(wm_sweep.vis_seen, 0, -1),
-                lidar=jnp.moveaxis(wm_sweep.lidar, 0, -1),
-                act_t=jnp.moveaxis(wm_sweep.act_t, 0, -1),
-                act_id=jnp.moveaxis(wm_sweep.act_id, 0, -1),
-                rew_seen=wm_sweep.rew_seen,
-            )
+        def regen_packed(world_ids, sub, lv):
+            """Per-world regeneration, worlds on the trailing axis."""
+            return jax.vmap(
+                lambda wid, s, l: _regen_world(cfg, base_key, wid, s, l),
+                in_axes=(0, -1, 0), out_axes=-1)(world_ids, sub, lv)
+
+        def full_resets(p):
+            world_ids = jnp.arange(w, dtype=jnp.uint32)
+            regen = regen_packed(world_ids, p, level_ids)
+            adv = advance(p)
+            new_p = jax.tree.map(
+                lambda new, old: jnp.where(
+                    trigger.reshape((1,) * (new.ndim - 1) + (-1,)),
+                    new, old),
+                regen, adv)
+            # Observations must describe the post-reset worlds: re-sweep.
+            return new_p, standalone_sweep_packed(cfg, new_p)
+
+        def compact_resets(p):
+            """Regenerate ONLY the (<= reset_budget) resetting worlds
+            (same index/tie semantics as the classic path,
+            env/env.py::compact_resets).
+
+            Layout discipline: lane-axis gathers/scatters on the big f32
+            state leaves make XLA assign them a second layout and convert
+            with ~MBs of copies on EVERY step (taken or not; measured
+            ~1.5 ms at 16K worlds). So (a) the regen input gathers only
+            the three small leaves _regen_world actually reads, and (b)
+            the merge-back writes float leaves as old*(1-m) + new @ 1hot
+            — an MXU matmul against an exact {0,1} matrix (bit-exact
+            selection even through the bf16-pass f32 matmul: 1.0 and 0.0
+            are exact in every pass) — keeping every big leaf on the
+            elementwise/matmul path. Small integer leaves still scatter
+            (their conversion copies are negligible)."""
+            k = cfg.reset_budget
+            w_idx = jnp.arange(w, dtype=jnp.int32)
+            score = jnp.where(trigger, w - w_idx, jnp.int32(0))
+            top_score, idx = jax.lax.top_k(score, k)
+            idx = jnp.where(top_score > 0, idx, idx[0])
+
+            # _regen_world builds everything fresh except the episode
+            # counter and the carried score singletons.
+            carrier = jax.tree.map(
+                lambda x: jnp.zeros(x.shape[:-1] + (k,), x.dtype), p)
+            carrier = carrier.replace(
+                episode_counter=jnp.take(p.episode_counter, idx, axis=-1),
+                finished_scores=jnp.take(p.finished_scores, idx, axis=-1),
+                running_scores=jnp.take(p.running_scores, idx, axis=-1))
+            regen = regen_packed(idx.astype(jnp.uint32), carrier,
+                                 level_ids[idx])
+            sub_sweep = standalone_sweep_packed(cfg, regen)
+
+            # First-occurrence one-hot: padding entries duplicate the
+            # first triggered world; only its first column may write.
+            first = (jnp.argmax(idx[:, None] == idx[None, :], axis=1) ==
+                     jnp.arange(k))
+            ohs = ((idx[:, None] == w_idx[None, :]) &
+                   first[:, None]).astype(jnp.float32)        # [k, W]
+            member = jnp.sum(ohs, axis=0)                     # [W] 0/1
+
+            def merge(old, new):
+                if jnp.issubdtype(old.dtype, jnp.floating):
+                    r = 1
+                    for d in old.shape[:-1]:
+                        r *= d
+                    fo = old.reshape((r, w))
+                    fn_ = new.astype(old.dtype).reshape((r, k))
+                    # +inf sentinels (ray-miss t) would contaminate the
+                    # whole row through inf*0=NaN: select on the finite
+                    # part and restore +inf where the source was inf.
+                    fin = jnp.isfinite(fn_)
+                    sel = jax.lax.dot(
+                        jnp.where(fin, fn_, 0.0), ohs.astype(old.dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+                    was_inf = jax.lax.dot(
+                        (~fin).astype(old.dtype), ohs.astype(old.dtype),
+                        precision=jax.lax.Precision.HIGHEST) > 0.5
+                    sel = jnp.where(was_inf, jnp.inf, sel)
+                    out = jnp.where(member[None] > 0.5, sel, fo)
+                    return out.reshape(old.shape)
+                return old.at[..., idx].set(new)
+
+            adv = advance(p)
+            new_p = jax.tree.map(merge, adv, regen)
+            new_sweep = jax.tree.map(merge, sweep, sub_sweep)
+            return new_p, new_sweep
+
+        def do_resets(p):
+            if 0 < cfg.reset_budget < w:
+                return jax.lax.cond(
+                    jnp.sum(trigger) <= cfg.reset_budget,
+                    compact_resets, full_resets, p)
+            return full_resets(p)
+
+        def no_resets(p):
+            return advance(p), sweep
 
         ps, sweep = jax.lax.cond(jnp.any(trigger), do_resets, no_resets, ps)
         ps = ps.replace(act_hit_t=sweep.act_t, act_hit_id=sweep.act_id)

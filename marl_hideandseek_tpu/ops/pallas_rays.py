@@ -307,3 +307,38 @@ def raycast_batch(cfg: EnvConfig, state, origins, dirs, max_t, exclude,
     )
     t, hit = _raycast_pallas(cfg, *args, interpret)
     return jnp.moveaxis(t, -1, 0), jnp.moveaxis(hit, -1, 0)
+
+
+def raycast_batch_packed(cfg: EnvConfig, pstate, origins, dirs, max_t,
+                         exclude, use_pallas: bool = True,
+                         interpret: bool = False):
+    """Worlds-minor twin of raycast_batch: no state transposes.
+
+    pstate: packed EnvState (every leaf's world axis LAST); origins/dirs
+    [R, 3, W]; max_t [R, W] f32; exclude [R, W] i32. Returns (t [R, W],
+    hit_id [R, W]). Keeping the whole call packed is what lets the reset
+    branch of PackedEnv.step avoid full-state transposes (which would
+    force XLA layout-conversion copies of the state on EVERY step, taken
+    or not — measured ~1.5 ms/step at 16K worlds)."""
+    n_worlds = origins.shape[-1]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not ((use_pallas and on_tpu and n_worlds % LANE == 0) or
+            (interpret and n_worlds % LANE == 0)):
+        return jax.vmap(
+            lambda b, s, o, d, m, e: jnp_rays.raycast_world(
+                cfg, b, s, o, d, m, e),
+            in_axes=-1, out_axes=-1,
+        )(pstate.bodies, pstate.statics, origins, dirs, max_t, exclude)
+
+    b = pstate.bodies
+    s = pstate.statics
+    f32 = lambda x: x.astype(jnp.float32)
+    args = (
+        f32(b.pos), f32(b.quat), f32(b.half_ext), f32(b.active),
+        f32(s.wall_pos), f32(s.wall_half_ext), f32(s.wall_active),
+        f32(s.plane_point), f32(s.plane_normal), f32(s.plane_active),
+        f32(origins.swapaxes(0, 1)),            # [R,3,W] -> [3,R,W]
+        f32(dirs.swapaxes(0, 1)),
+        f32(max_t), exclude.astype(jnp.int32),
+    )
+    return _raycast_pallas(cfg, *args, interpret)

@@ -116,3 +116,31 @@ def test_packed_init_matches():
         np.testing.assert_allclose(
             np.asarray(ref[k]), np.asarray(cres.obs[k]), atol=1e-4,
             err_msg=f"obs[{k}]")
+
+
+def test_packed_compact_reset_matches_classic():
+    """The packed-native compact (gather/regen/scatter over lane columns)
+    staggered-reset path must match the classic env's compact path."""
+    cfg = CFG.replace(reset_budget=2)
+    cenv = HideAndSeekEnv(cfg)
+    penv = PackedEnv(cfg)
+    cstate, _ = jax.jit(cenv.init)(jax.random.PRNGKey(9))
+    pstate = pack_state(cstate)
+    actions = jnp.full((W, A, 5), 2, jnp.int32).at[..., 3:].set(0)
+    cstate = cstate.replace(step=jnp.full((W,), 50, jnp.int32))
+    pstate = pstate.replace(step=jnp.full((W,), 50, jnp.int32))
+    resets = jnp.zeros((W,), jnp.int32).at[1].set(1).at[3].set(2)
+
+    cstate, cres = jax.jit(cenv.step)(cstate, actions, resets)
+    pstate, pres = jax.jit(penv.step)(
+        pstate, pack_actions(actions), resets)
+    assert_state_close(unpack_state(pstate), cstate)
+    np.testing.assert_allclose(
+        np.asarray(pres.obs["self_data"]),
+        np.asarray(cres.obs["self_data"]), atol=1e-5)
+    # Over-budget burst (all 4 worlds) falls back to the full path.
+    resets_all = jnp.full((W,), 1, jnp.int32)
+    cstate, _ = jax.jit(cenv.step)(cstate, actions, resets_all)
+    pstate, _ = jax.jit(penv.step)(
+        pstate, pack_actions(actions), resets_all)
+    assert_state_close(unpack_state(pstate), cstate)
