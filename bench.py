@@ -15,7 +15,9 @@ north star). `scripts/benchmark.py` is the positional-arg CLI over the
 same engine (reference: scripts/benchmark.py NUM_WORLDS NUM_STEPS ENT
 RESET_CHANCE).
 
-Env overrides: BENCH_WORLDS, BENCH_STEPS, BENCH_CHUNK, BENCH_RESET_CHANCE.
+Env overrides: BENCH_WORLDS, BENCH_STEPS, BENCH_CHUNK, BENCH_RESET_CHANCE,
+BENCH_RENDER (64x64 RGBD per agent per step), BENCH_MESH (shard worlds
+over all devices via shard_map — multi-chip scaling mode).
 """
 
 import json
@@ -38,11 +40,16 @@ NORTH_STAR = 10_000_000.0
 def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
               num_seekers: int = 2, reset_chance: float = 0.0,
               chunk: int = 40, rand_seed: int = 5,
-              render: bool = False) -> float:
+              render: bool = False, mesh_mode: bool = False) -> float:
     """Run the benchmark; returns steady-state env-steps/s. With
     `render`, every step also produces the 64x64 per-agent RGBD tensors
     (viz/rgbd.py) riding the carry — the reference GPU benchmark runs
-    with its batch renderer enabled (scripts/benchmark.py:28-35)."""
+    with its batch renderer enabled (scripts/benchmark.py:28-35). With
+    `mesh_mode`, the worlds shard over ALL available devices on a
+    ('data', 'model') mesh and each device runs its slab through the
+    packed step under shard_map (parallel/mesh.py) — degenerates to one
+    chip today, and produces the multi-chip scaling number the day more
+    chips exist."""
     cfg = EnvConfig(
         num_worlds=num_worlds,
         min_hiders=num_hiders, max_hiders=num_hiders,
@@ -56,9 +63,20 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
     state, _ = jax.jit(env.init)(key)
     n_move = 5 if cfg.zero_agent_velocity else 11
 
+    if mesh_mode:
+        from marl_hideandseek_tpu.parallel.mesh import (
+            make_mesh, make_sharded_packed_step, packed_env_shardings)
+        mesh = make_mesh()
+        sharded_step = make_sharded_packed_step(env, mesh)
+        state = jax.device_put(state, packed_env_shardings(state, mesh))
+        step_fn = lambda s, a, r: sharded_step(s, a)
+    else:
+        step_fn = lambda s, a, r: env.step(s, a, r)
+
     def _step0(s):
-        s, r = env.step(
-            s, jnp.zeros((cfg.max_agents, 5, cfg.num_worlds), jnp.int32))
+        s, r = step_fn(
+            s, jnp.zeros((cfg.max_agents, 5, cfg.num_worlds), jnp.int32),
+            None)
         if render:
             from marl_hideandseek_tpu.viz.rgbd import render_rgbd_packed
             rgb, depth = render_rgbd_packed(cfg, s)
@@ -85,7 +103,7 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
                 resets = (r < reset_chance).astype(jnp.int32)
             else:
                 resets = None
-            state, result = env.step(state, actions, resets)
+            state, result = step_fn(state, actions, resets)
             if render:
                 from marl_hideandseek_tpu.viz.rgbd import (
                     render_rgbd_packed)
@@ -124,10 +142,14 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 40))
     reset_chance = float(os.environ.get("BENCH_RESET_CHANCE", 0.0))
     render = bool(int(os.environ.get("BENCH_RENDER", "0")))
+    mesh_mode = bool(int(os.environ.get("BENCH_MESH", "0")))
+    if mesh_mode and reset_chance > 0.0:
+        raise SystemExit("BENCH_MESH does not support BENCH_RESET_CHANCE "
+                         "(external resets aren't wired through shard_map)")
 
     steps_per_sec = bench_run(num_worlds, num_steps,
                               reset_chance=reset_chance, chunk=chunk,
-                              render=render)
+                              render=render, mesh_mode=mesh_mode)
     # The tunneled TPU backend very occasionally returns from
     # block_until_ready without a real device roundtrip, reporting an
     # impossible throughput (observed: 2.6e9 steps/s on a chip whose
@@ -138,7 +160,7 @@ def main():
         retries += 1
         steps_per_sec = bench_run(num_worlds, num_steps,
                                   reset_chance=reset_chance, chunk=chunk,
-                                  render=render)
+                                  render=render, mesh_mode=mesh_mode)
     if steps_per_sec > 100e6:
         # Still impossible after retries: report an explicit failure
         # rather than a 1000x-inflated number.
@@ -155,6 +177,8 @@ def main():
     suffix = f"_reset{reset_chance}" if reset_chance else ""
     if render:
         suffix += "_rgbd64"
+    if mesh_mode:
+        suffix += f"_mesh{len(jax.devices())}"
     print(json.dumps({
         "metric": f"env_steps_per_sec_{num_worlds}worlds_2v2{suffix}",
         "value": round(steps_per_sec, 1),

@@ -545,15 +545,24 @@ class PackedEnv:
         return ps, self._result(ps, sweep, None, None)
 
     def step(self, ps: EnvState, actions: jnp.ndarray,
-             resets: Optional[jnp.ndarray] = None, base_key=None
+             resets: Optional[jnp.ndarray] = None, base_key=None,
+             world_ids: Optional[jnp.ndarray] = None
              ) -> Tuple[EnvState, PackedStepResult]:
-        """One packed step. actions [A, 5, W] i32; resets [W] i32."""
+        """One packed step. actions [A, 5, W] i32; resets [W] i32.
+
+        world_ids [W] u32: global world indices used to seed episode
+        draws on reset. Defaults to arange(W); pass the global ids when
+        this step runs on a SHARD of the world batch (shard_map /
+        multi-host) so episode RNG streams stay distinct across shards
+        (parallel/mesh.make_sharded_packed_step does this)."""
         cfg = self.cfg
         w = ps.step.shape[0]
         if resets is None:
             resets = jnp.zeros((w,), jnp.int32)
         if base_key is None:
             base_key = jax.random.PRNGKey(cfg.rand_seed)
+        if world_ids is None:
+            world_ids = jnp.arange(w, dtype=jnp.uint32)
         actions = actions.astype(jnp.int32)
 
         if not self.force_fallback and \
@@ -607,7 +616,6 @@ class PackedEnv:
                 in_axes=(0, -1, 0), out_axes=-1)(world_ids, sub, lv)
 
         def full_resets(p):
-            world_ids = jnp.arange(w, dtype=jnp.uint32)
             regen = regen_packed(world_ids, p, level_ids)
             adv = advance(p)
             new_p = jax.tree.map(
@@ -648,8 +656,7 @@ class PackedEnv:
                 episode_counter=jnp.take(p.episode_counter, idx, axis=-1),
                 finished_scores=jnp.take(p.finished_scores, idx, axis=-1),
                 running_scores=jnp.take(p.running_scores, idx, axis=-1))
-            regen = regen_packed(idx.astype(jnp.uint32), carrier,
-                                 level_ids[idx])
+            regen = regen_packed(world_ids[idx], carrier, level_ids[idx])
             sub_sweep = standalone_sweep_packed(cfg, regen)
 
             # First-occurrence one-hot: padding entries duplicate the

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -76,6 +77,70 @@ def shard_training_manager(mgr, mesh: Mesh):
     shardings = training_state_shardings(mgr.state, mesh)
     state = jax.device_put(mgr.state, shardings)
     return mgr.replace(state=state), shardings
+
+
+def packed_env_specs(ps):
+    """PartitionSpec pytree for a PACKED EnvState (env/packed.py): the
+    worlds axis is LAST on every leaf and shards over 'data'."""
+    return jax.tree.map(
+        lambda x: (P(*([None] * (x.ndim - 1) + ["data"]))
+                   if x.ndim else P()), ps)
+
+
+def packed_env_shardings(ps, mesh: Mesh):
+    """NamedSharding pytree for a PACKED EnvState."""
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        packed_env_specs(ps))
+
+
+def make_sharded_packed_step(env, mesh: Mesh):
+    """PackedEnv.step wrapped in shard_map over the mesh's 'data' axis.
+
+    Each device steps its local slab of worlds through the full packed
+    step (megastep Pallas kernel on TPU) with NO collectives — worlds
+    are independent, so the conditional-reset branches may diverge per
+    device safely. Global world ids are threaded through so episode RNG
+    streams stay distinct across shards. The compact-reset budget
+    applies PER SHARD (each device can staggered-reset up to
+    cfg.reset_budget of its local worlds per step; beyond that it takes
+    the full-batch path for its shard).
+
+    Returns a jitted step(ps, actions) -> (ps', PackedStepResult);
+    shard ps with packed_env_shardings first. Requires
+    (num_worlds / data_axis_size) % 128 == 0 for the Pallas path on
+    TPU. Degenerates to single-device on a 1-chip mesh, so the same
+    harness produces a scaling number the day multi-chip hardware
+    exists (bench.py BENCH_MESH=1)."""
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:                                    # newer jax
+        from jax import shard_map
+    from marl_hideandseek_tpu.env.packed import PackedStepResult
+
+    def local_step(ps, actions, world_ids):
+        return env.step(ps, actions, world_ids=world_ids)
+
+    def stepper(ps, actions):
+        state_specs = packed_env_specs(ps)
+        res_sd = jax.eval_shape(lambda p, a: env.step(p, a), ps, actions)[1]
+        res_specs = PackedStepResult(
+            obs=jax.tree.map(
+                lambda x: P("data", *([None] * (x.ndim - 1))), res_sd.obs),
+            rewards=P(None, "data"),
+            dones=P(None, "data"),
+            episode_results=P(None, "data"),
+            team_reward=P("data"),
+        )
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, P(None, None, "data"), P("data")),
+            out_specs=(state_specs, res_specs),
+            check_rep=False,
+        )
+        w = ps.step.shape[-1]
+        return fn(ps, actions, jnp.arange(w, dtype=jnp.uint32))
+
+    return jax.jit(stepper)
 
 
 def make_sharded_update(mgr, mesh: Mesh):

@@ -54,3 +54,54 @@ def test_env_step_sharded():
     # Output sharding should still be distributed over data.
     shard_devs = {s.device for s in state2.bodies.pos.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_packed_env_step_sharded():
+    """PackedEnv.step (worlds-LAST, the actual hot path) under shard_map
+    over the 8-device virtual mesh — including across the episode-reset
+    boundary, and matching the unsharded step exactly."""
+    from marl_hideandseek_tpu.config import EnvConfig, SimFlags
+    from marl_hideandseek_tpu.env.packed import PackedEnv
+    from marl_hideandseek_tpu.parallel.mesh import (
+        make_mesh, make_sharded_packed_step, packed_env_shardings)
+
+    W = 16
+    cfg = EnvConfig(
+        num_worlds=W, min_hiders=1, max_hiders=1, min_seekers=1,
+        max_seekers=1,
+        sim_flags=SimFlags.ZeroAgentVelocity | SimFlags.UseFixedWorld)
+    env = PackedEnv(cfg)
+    ps0, _ = jax.jit(env.init)(jax.random.PRNGKey(5))
+    # Start 2 steps before the episode boundary so the scan below
+    # crosses a full synchronized reset under sharding.
+    ps0 = ps0.replace(
+        step=jnp.full((W,), cfg.episode_len - 2, jnp.int32))
+    actions = jnp.full((cfg.max_agents, 5, W), 2, jnp.int32
+                       ).at[:, 3:].set(0)
+
+    mesh = make_mesh(8)
+    sharded_step = make_sharded_packed_step(env, mesh)
+    ps_sh = jax.device_put(ps0, packed_env_shardings(ps0, mesh))
+
+    ps_ref = ps0
+    for _ in range(3):          # 238 -> 239 (reset) -> 0
+        ps_sh, res_sh = sharded_step(ps_sh, actions)
+        ps_ref, res_ref = jax.jit(env.step)(ps_ref, actions)
+    jax.block_until_ready(ps_sh)
+
+    # Outputs stay distributed over the data axis.
+    shard_devs = {s.device for s in ps_sh.bodies.pos.addressable_shards}
+    assert len(shard_devs) == 8
+
+    # Exact agreement with the unsharded step (worlds are independent
+    # and the global world ids are threaded through the shards).
+    for a, b in zip(jax.tree_util.tree_leaves(ps_sh),
+                    jax.tree_util.tree_leaves(ps_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.obs["self_data"]),
+        np.asarray(res_ref.obs["self_data"]), atol=1e-5)
