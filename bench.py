@@ -73,13 +73,22 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
     else:
         step_fn = lambda s, a, r: env.step(s, a, r)
 
+    def _render(s):
+        # Pallas RGBD kernel (ops/pallas_rgbd.py): per-agent 64x64
+        # packed-RGBA u32 + f32 depth in the packed (worlds-minor)
+        # export layout — the renderer's native tensor layout, like the
+        # reference benchmark materializes ITS renderer's native
+        # tensors each step (scripts/benchmark.py:75).
+        from marl_hideandseek_tpu.ops.pallas_rgbd import (
+            render_rgbd_packed_fast)
+        return render_rgbd_packed_fast(cfg, s)
+
     def _step0(s):
         s, r = step_fn(
             s, jnp.zeros((cfg.max_agents, 5, cfg.num_worlds), jnp.int32),
             None)
         if render:
-            from marl_hideandseek_tpu.viz.rgbd import render_rgbd_packed
-            rgb, depth = render_rgbd_packed(cfg, s)
+            rgb, depth = _render(s)
             r = r._replace(obs={**r.obs, "rgb": rgb, "depth": depth})
         return s, r
 
@@ -105,9 +114,7 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
                 resets = None
             state, result = step_fn(state, actions, resets)
             if render:
-                from marl_hideandseek_tpu.viz.rgbd import (
-                    render_rgbd_packed)
-                rgb, depth = render_rgbd_packed(cfg, state)
+                rgb, depth = _render(state)
                 result = result._replace(obs={**result.obs,
                                               "rgb": rgb,
                                               "depth": depth})
