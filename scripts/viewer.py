@@ -10,7 +10,12 @@ Usage:
 
 Commands:  w/a/s/d move, q/e turn, g grab, l lock, <enter> idle step,
            r reset, 1-8 reset to level N, m save ckpt, n load ckpt,
-           p print obs, x quit.
+           p print obs, f toggle follow camera, x quit.
+
+`--follow` (or the `f` command) additionally renders the driven agent's
+first-person 64x64 RGBD view (viz/rgbd.py) beside each top-down frame —
+the capability analogue of the reference viewer's agent follow camera
+(reference: src/sim.cpp:943-954, viewer.cpp:148-179).
 """
 
 import argparse
@@ -39,6 +44,9 @@ def main():
     p.add_argument("--agent", type=int, default=0)
     p.add_argument("--num-hiders", type=int, default=2)
     p.add_argument("--num-seekers", type=int, default=2)
+    p.add_argument("--follow", action="store_true",
+                   help="render the driven agent's first-person RGBD "
+                        "view beside the top-down frame")
     args = p.parse_args()
 
     import matplotlib
@@ -61,13 +69,27 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     frame = 0
+    follow = args.follow
 
     def draw():
-        ax = render_world(cfg, state, args.world,
-                          title=f"step {int(state.step[0])}")
+        if follow:
+            from marl_hideandseek_tpu.viz.rgbd import render_rgbd
+            fig, (ax, axf) = plt.subplots(
+                1, 2, figsize=(11, 5),
+                gridspec_kw={"width_ratios": [1.2, 1]})
+            render_world(cfg, state, args.world,
+                         title=f"step {int(state.step[0])}", ax=ax)
+            rgb, depth = render_rgbd(cfg, state, 64, 64)
+            axf.imshow(np.asarray(rgb[args.world, args.agent, ..., :3]))
+            axf.set_title(f"agent {args.agent} follow cam")
+            axf.axis("off")
+        else:
+            ax = render_world(cfg, state, args.world,
+                              title=f"step {int(state.step[0])}")
+            fig = ax.figure
         path = os.path.join(args.out, f"frame_{frame:05d}.png")
-        ax.figure.savefig(path, dpi=80)
-        plt.close(ax.figure)
+        fig.savefig(path, dpi=80)
+        plt.close(fig)
         print(f"  -> {path}")
 
     draw()
@@ -121,6 +143,12 @@ def main():
         elif cmd == "p":
             for k, v in result.obs.items():
                 print(f"  {k}: {np.asarray(v)[0, a]}")
+            continue
+        elif cmd == "f":
+            follow = not follow
+            print(f"  follow camera {'on' if follow else 'off'}")
+            frame += 1
+            draw()
             continue
 
         state, result = step(state, jnp.asarray(act), resets)
