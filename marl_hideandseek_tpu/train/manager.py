@@ -221,6 +221,8 @@ class TrainingManager:
             "hidden_frac": roll_metrics["hidden_frac"],
             "lock_rate": roll_metrics["lock_rate"],
             "grab_rate": roll_metrics["grab_rate"],
+            "ramp_lock_rate": roll_metrics["ramp_lock_rate"],
+            "ramp_move_rate": roll_metrics["ramp_move_rate"],
         }
         new_state = TrainingState(
             params=params,
@@ -426,7 +428,8 @@ def init_training(dev, cfg: TrainConfig, env_or_fns, policy: Policy,
         k: jnp.zeros((cfg.metrics_buffer_size,))
         for k in ("loss", "action_loss", "value_loss", "entropy",
                   "dropped_agent_frac",
-                  "mean_reward", "hidden_frac", "lock_rate", "grab_rate")
+                  "mean_reward", "hidden_frac", "lock_rate", "grab_rate",
+                  "ramp_lock_rate", "ramp_move_rate")
     }
 
     state = TrainingState(

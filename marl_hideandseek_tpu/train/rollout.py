@@ -282,11 +282,23 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
         # >= 1 active grab (post-step state; reference tool semantics
         # src/sim.cpp:281-361). The domain's fort-building signal.
         from marl_hideandseek_tpu.types import body_slot_ranges
-        (box_lo, box_hi), _, _ = body_slot_ranges(penv.cfg)
+        (box_lo, box_hi), (ramp_lo, ramp_hi), _ = \
+            body_slot_ranges(penv.cfg)
         locked_w = jnp.any(env_state.bodies.locked[box_lo:box_hi],
                            axis=0).astype(jnp.float32)
         grab_w = jnp.any(env_state.grab.target >= 0,
                          axis=0).astype(jnp.float32)
+        # Ramp-use signals of the reference's late curriculum: >= 1
+        # locked ramp, and >= 1 active ramp with nonzero planar speed
+        # (being carried/pushed).
+        ramp_locked_w = jnp.any(
+            env_state.bodies.locked[ramp_lo:ramp_hi],
+            axis=0).astype(jnp.float32)
+        ramp_act = env_state.bodies.active[ramp_lo:ramp_hi]
+        ramp_speed = jnp.linalg.norm(
+            env_state.bodies.vel[ramp_lo:ramp_hi, :2], axis=1)
+        ramp_move_w = jnp.any((ramp_speed > 0.25) & ramp_act,
+                              axis=0).astype(jnp.float32)
 
         store = {
             "obs": obs,
@@ -303,6 +315,8 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
             "hidden_steps": jnp.sum(hidden * in_seek),
             "locked_steps": jnp.sum(locked_w),
             "grab_steps": jnp.sum(grab_w),
+            "ramp_locked_steps": jnp.sum(ramp_locked_w),
+            "ramp_move_steps": jnp.sum(ramp_move_w),
         }
         return (env_state, next_obs, new_rnn, new_assign), store
 
@@ -353,6 +367,8 @@ def collect_rollout(cfg: TrainConfig, env: HideAndSeekEnv, policy: Policy,
                         jnp.maximum(jnp.sum(chunks["seek_steps"]), 1.0)),
         "lock_rate": jnp.sum(chunks["locked_steps"]) / total_ws,
         "grab_rate": jnp.sum(chunks["grab_steps"]) / total_ws,
+        "ramp_lock_rate": jnp.sum(chunks["ramp_locked_steps"]) / total_ws,
+        "ramp_move_rate": jnp.sum(chunks["ramp_move_steps"]) / total_ws,
     }
     new_rollout = RolloutState(
         env_state=env_state, obs=final_obs, rnn_states=final_rnn,
