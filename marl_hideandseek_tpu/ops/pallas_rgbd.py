@@ -307,10 +307,14 @@ def _make_rgbd_kernel(cfg: EnvConfig, img_h: int, img_w: int,
                       jnp.clip(cg * shade, 0.0, 255.0))
         b_ = jnp.where(miss, float(_SKY[2]),
                        jnp.clip(cb * shade, 0.0, 255.0))
-        packed = (r.astype(jnp.uint32) |
-                  (g.astype(jnp.uint32) << 8) |
-                  (b_.astype(jnp.uint32) << 16) |
-                  jnp.uint32(255 << 24))
+        # Pack in int32 (Mosaic has no f32->u32 cast; f32->s32 is
+        # supported and the channel values are within [0, 255]); the
+        # caller bitcasts the i32 output plane to u32. 0xFF000000 as a
+        # signed 32-bit literal is -(1 << 24 << 8 >> 8) = -16777216.
+        packed = (r.astype(jnp.int32) |
+                  (g.astype(jnp.int32) << 8) |
+                  (b_.astype(jnp.int32) << 16) |
+                  jnp.int32(-16777216))
         rgba_out[:] = packed[None]
         depth_out[:] = jnp.where(miss, 0.0, t_best)[None]
 
@@ -367,10 +371,11 @@ def _rgbd_pallas(cfg: EnvConfig, img_h: int, img_w: int, fov_deg: float,
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_a, n_pix, n_worlds), jnp.uint32),
+        # i32 in-kernel (Mosaic lacks f32->u32 casts); bitcast below.
+        jax.ShapeDtypeStruct((n_a, n_pix, n_worlds), jnp.int32),
         jax.ShapeDtypeStruct((n_a, n_pix, n_worlds), jnp.float32),
     ]
-    return pl.pallas_call(
+    rgba_i32, depth = pl.pallas_call(
         _make_rgbd_kernel(cfg, img_h, img_w, fov_deg, max_depth, n_wall,
                           n_plane),
         grid=grid,
@@ -380,6 +385,7 @@ def _rgbd_pallas(cfg: EnvConfig, img_h: int, img_w: int, fov_deg: float,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*args)
+    return jax.lax.bitcast_convert_type(rgba_i32, jnp.uint32), depth
 
 
 def render_rgbd_packed_fast(cfg: EnvConfig, ps, img_h: int = 64,

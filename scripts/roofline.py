@@ -56,17 +56,29 @@ def hbm_bw():
 
 
 def vpu_rate():
+    # K independent single-vreg accumulators, kept REGISTER-resident
+    # ([8, 128] f32 = one vreg each; a [256, 128] tile per accumulator
+    # would be 32 vregs x 8 accs = 256 live vregs and Mosaic spills the
+    # chain to VMEM — that variant measures spill bandwidth, ~0.2
+    # vreg-fma/cycle, not the ALU). UNROLL fmas per fori_loop
+    # iteration amortize the loop bookkeeping.
     LANE = 128
-    ROWS = 256          # 32 f32 vregs per plane
-    CHAIN = 4096        # fmas per element per kernel pass
+    ROWS = 8            # one f32 vreg per accumulator
     K = 8               # independent accumulators (break the dep chain)
+    UNROLL = 64         # K-wide fma groups per loop iteration
+    REPS = 2048         # loop iterations
 
     def kernel(x_ref, o_ref):
         x = x_ref[:]
-        accs = [x * (1.0 + 0.125 * i) for i in range(K)]
-        for i in range(CHAIN // K):
-            c = 1.0 + 1e-7 * i
-            accs = [a * c + 1e-9 for a in accs]
+
+        def body(_, accs):
+            for i in range(UNROLL // K):
+                c = 1.0 + 1e-7 * (i + 1)
+                accs = tuple(a * c + 1e-9 for a in accs)
+            return accs
+
+        accs = tuple(x * (1.0 + 0.125 * i) for i in range(K))
+        accs = jax.lax.fori_loop(0, REPS, body, accs)
         s = accs[0]
         for a in accs[1:]:
             s = s + a
@@ -86,11 +98,12 @@ def vpu_rate():
     x = jnp.ones((ROWS, LANE), jnp.float32)
     dt = timed(run, x, iters=50)
     # Each chain step is one vector fma over ROWS*LANE elements.
-    fmas = CHAIN * ROWS * LANE
-    vregs = CHAIN * (ROWS // 8)
+    vregs = REPS * UNROLL
+    fmas = vregs * ROWS * LANE
     print(f"VPU chain: {dt * 1e6:8.1f} us for {fmas / 1e6:.1f} M fma "
           f"elements -> {fmas / dt / 1e9:6.1f} Gfma/s "
-          f"({vregs / dt / 1e6:.0f} M vreg-fma/s)")
+          f"({vregs / dt / 1e6:.0f} M vreg-fma/s, "
+          f"{vregs / dt / 0.94e9:.2f} vreg-fma/cycle @940MHz)")
     return fmas / dt
 
 
