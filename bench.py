@@ -57,6 +57,14 @@ def bench_run(num_worlds: int, num_steps: int, num_hiders: int = 2,
         sim_flags=SimFlags.ZeroAgentVelocity | SimFlags.RandomFlipTeams,
         rand_seed=rand_seed,
     )
+    if mesh_mode and reset_chance > 0.0:
+        raise ValueError("mesh_mode does not support reset_chance "
+                         "(external resets aren't wired through shard_map)")
+    if mesh_mode and render:
+        raise ValueError(
+            "mesh_mode + render is unsupported: the RGBD pallas_call runs "
+            "outside shard_map and cannot partition a data-sharded state "
+            "on a >1-device mesh (it would gather, not scale)")
     env = PackedEnv(cfg)
     key = jax.random.PRNGKey(cfg.rand_seed)
 
@@ -150,10 +158,6 @@ def main():
     reset_chance = float(os.environ.get("BENCH_RESET_CHANCE", 0.0))
     render = bool(int(os.environ.get("BENCH_RENDER", "0")))
     mesh_mode = bool(int(os.environ.get("BENCH_MESH", "0")))
-    if mesh_mode and reset_chance > 0.0:
-        raise SystemExit("BENCH_MESH does not support BENCH_RESET_CHANCE "
-                         "(external resets aren't wired through shard_map)")
-
     steps_per_sec = bench_run(num_worlds, num_steps,
                               reset_chance=reset_chance, chunk=chunk,
                               render=render, mesh_mode=mesh_mode)

@@ -677,6 +677,14 @@ class PackedEnv:
                     # +inf sentinels (ray-miss t) would contaminate the
                     # whole row through inf*0=NaN: select on the finite
                     # part and restore +inf where the source was inf.
+                    # CONTRACT: state float leaves hold only finite
+                    # values and +inf sentinels (pinned by
+                    # tests/test_packed.py::test_regen_float_leaves_
+                    # finite_or_posinf). A NaN or -inf here would be an
+                    # upstream bug and is canonicalized to +inf by this
+                    # merge (the classic scatter path would preserve
+                    # it); keeping that exact would cost two more
+                    # matmuls per leaf in the compact hot path.
                     fin = jnp.isfinite(fn_)
                     sel = jax.lax.dot(
                         jnp.where(fin, fn_, 0.0), ohs.astype(old.dtype),

@@ -113,8 +113,11 @@ def make_sharded_packed_step(env, mesh: Mesh):
     exists (bench.py BENCH_MESH=1)."""
     try:
         from jax.experimental.shard_map import shard_map
+        _rep_kw = "check_rep"
     except ImportError:                                    # newer jax
+        # jax.shard_map renamed check_rep -> check_vma.
         from jax import shard_map
+        _rep_kw = "check_vma"
     from marl_hideandseek_tpu.env.packed import PackedStepResult
 
     def local_step(ps, actions, world_ids):
@@ -135,7 +138,7 @@ def make_sharded_packed_step(env, mesh: Mesh):
             local_step, mesh=mesh,
             in_specs=(state_specs, P(None, None, "data"), P("data")),
             out_specs=(state_specs, res_specs),
-            check_rep=False,
+            **{_rep_kw: False},
         )
         w = ps.step.shape[-1]
         return fn(ps, actions, jnp.arange(w, dtype=jnp.uint32))

@@ -144,3 +144,38 @@ def test_packed_compact_reset_matches_classic():
     pstate, _ = jax.jit(penv.step)(
         pstate, pack_actions(actions), resets_all)
     assert_state_close(unpack_state(pstate), cstate)
+
+
+def test_regen_float_leaves_finite_or_posinf():
+    """The compact-reset one-hot merge (env/packed.py::merge) assumes
+    state/sweep float leaves hold ONLY finite values and +inf ray-miss
+    sentinels: a NaN or -inf would be silently canonicalized to +inf by
+    the merge, diverging from the classic scatter path. Pin the
+    invariant at its source across seeds, resets, and steps."""
+    cfg = CFG.replace(reset_budget=2)
+    penv = PackedEnv(cfg)
+    step = jax.jit(penv.step)
+
+    def check(tree, what):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            x = np.asarray(leaf)
+            if not np.issubdtype(x.dtype, np.floating):
+                continue
+            bad = ~(np.isfinite(x) | (x == np.inf))
+            assert not bad.any(), f"NaN/-inf in {what}"
+
+    for seed in (0, 7, 123):
+        state, _ = jax.jit(penv.init)(jax.random.PRNGKey(seed))
+        check(state, f"init seed {seed}")
+        key = jax.random.PRNGKey(seed + 1000)
+        for t in range(3):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, t))
+            move = jax.random.randint(k1, (A, 3, W), 0, 5)
+            gl = jax.random.randint(k2, (A, 2, W), 0, 2)
+            actions = jnp.concatenate([move, gl], axis=1)
+            # Force the compact path on step 1, full resets on step 2.
+            resets = (jnp.zeros((W,), jnp.int32).at[t % W].set(t == 1)
+                      + (t == 2))
+            state, res = step(state, actions, resets)
+            check(state, f"state seed {seed} step {t}")
+            check(res.obs, f"obs seed {seed} step {t}")
