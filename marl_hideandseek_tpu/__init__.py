@@ -17,9 +17,11 @@ Public surface:
 
 from marl_hideandseek_tpu.version import __version__
 from marl_hideandseek_tpu.config import EnvConfig, SimFlags
+from marl_hideandseek_tpu.env import HideAndSeekEnv
 
 __all__ = [
     "__version__",
     "EnvConfig",
     "SimFlags",
+    "HideAndSeekEnv",
 ]
