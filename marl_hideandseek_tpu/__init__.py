@@ -17,7 +17,6 @@ Public surface:
 
 from marl_hideandseek_tpu.version import __version__
 from marl_hideandseek_tpu.config import EnvConfig, SimFlags
-from marl_hideandseek_tpu.env import HideAndSeekEnv
 
 __all__ = [
     "__version__",
@@ -25,3 +24,16 @@ __all__ = [
     "SimFlags",
     "HideAndSeekEnv",
 ]
+
+
+def __getattr__(name):
+    # Lazy (PEP 562): an eager `from .env import HideAndSeekEnv` would
+    # build module-level jnp constants at package import and initialize
+    # the XLA backend — which must NOT happen before
+    # jax.distributed.initialize() in multi-host workers
+    # (utils/runtime.py::init_distributed, tests/test_multihost.py).
+    if name == "HideAndSeekEnv":
+        from marl_hideandseek_tpu.env import HideAndSeekEnv
+
+        return HideAndSeekEnv
+    raise AttributeError(name)

@@ -34,7 +34,23 @@ def eval_load_ckpt(policy: Policy, ckpt_path: str,
     import os
 
     ckptr = ocp.StandardCheckpointer()
-    raw = ckptr.restore(os.path.abspath(ckpt_path))
+    path = os.path.abspath(ckpt_path)
+    try:
+        raw = ckptr.restore(path)
+    except ValueError:
+        # Checkpoint written on a different device type (e.g. saved on
+        # TPU, restored on CPU): the saved shardings name devices that
+        # don't exist here and the target-less restore raises. Rebuild
+        # a sharding-free target from metadata so the arrays land on
+        # the local default device instead.
+        meta = ckptr.metadata(path)
+        meta = getattr(meta, "item_metadata", meta)  # StepMetadata wrapper
+        sharding = jax.sharding.SingleDeviceSharding(
+            jax.local_devices()[0])
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), meta)
+        raw = ckptr.restore(path, target)
     params = raw["params"]
     past = raw.get("past_params", {})
     elo = raw["elo"]
